@@ -1,0 +1,71 @@
+"""Test configuration.
+
+JAX tests run on a virtual 8-device CPU mesh
+(``--xla_force_host_platform_device_count=8``) so the multi-chip sharding
+paths are exercised without TPU hardware, per SURVEY.md §4.  The env vars
+must be set before jax is first imported, hence this conftest sets them
+at collection time.  Set TOKENIZER_TPU_TEST_TPU=1 to run device tests on
+the real chip instead.
+"""
+
+import os
+from pathlib import Path
+
+import pytest
+
+if not os.environ.get("TOKENIZER_TPU_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+
+# Golden test data lives in the reference checkout when mounted; tests
+# that need it skip when absent so the suite runs on a bare clone too.
+TESTDATA_DIRS = [
+    REFERENCE / "tokenizer_ts" / "test" / "testdata",
+    REFERENCE / "Tokenizer_C#" / "TokenizerTest" / "testData",
+]
+
+
+def find_testdata(name: str):
+    for d in TESTDATA_DIRS:
+        p = d / name
+        if p.is_file():
+            return p
+    return None
+
+
+@pytest.fixture(scope="session")
+def lib_rs_text():
+    p = find_testdata("lib.rs.txt")
+    if p is None:
+        pytest.skip("reference conformance corpus not available")
+    return p.read_text(encoding="utf-8")
+
+
+def has_vocab(encoding: str) -> bool:
+    from tokenizer_tpu.vocab import resolve_vocab_file
+
+    try:
+        resolve_vocab_file(encoding, allow_fetch=False)
+        return True
+    except (FileNotFoundError, ValueError):
+        return False
+
+
+def require_vocab(encoding: str):
+    if not has_vocab(encoding):
+        pytest.skip(f"{encoding} rank file not available offline")
+
+
+@pytest.fixture(scope="session")
+def gpt2_tokenizer():
+    require_vocab("gpt2")
+    from tokenizer_tpu import create_by_encoder_name
+
+    return create_by_encoder_name("gpt2", allow_fetch=False)

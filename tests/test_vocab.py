@@ -1,0 +1,63 @@
+"""Rank-file parsing and asset resolution (LoadTikTokenBpe parity)."""
+
+import base64
+
+import pytest
+
+from tokenizer_tpu.vocab import (
+    Vocabulary,
+    parse_tiktoken_data,
+    resolve_vocab_file,
+)
+
+
+def _line(tok: bytes, rank: int) -> bytes:
+    return base64.b64encode(tok) + b" " + str(rank).encode()
+
+
+def test_parse_basic():
+    data = b"\n".join([_line(b"a", 0), _line(b"b", 1), b"", _line(b"ab", 2)])
+    ranks = parse_tiktoken_data(data)
+    assert ranks == {b"a": 0, b"b": 1, b"ab": 2}
+
+
+def test_parse_rejects_bad_field_count():
+    # TikTokenizer.cs:115-124 / tikTokenizer.ts:31-33.
+    with pytest.raises(ValueError, match="Invalid format"):
+        parse_tiktoken_data(b"YQ== 0 extra")
+
+
+def test_parse_rejects_bad_rank():
+    # TikTokenizer.cs:126-135 / tikTokenizer.ts:36-40.
+    with pytest.raises(ValueError, match="Can't parse"):
+        parse_tiktoken_data(b"YQ== notanint")
+
+
+def test_vocab_size_mismatch_raises():
+    # Duplicate rank value → encoder/decoder size mismatch
+    # (TikTokenizer.cs:84-87, tikTokenizer.ts:113-115).
+    with pytest.raises(ValueError, match="sizes don't match"):
+        Vocabulary({b"a": 0, b"b": 0})
+
+
+def test_unknown_encoder_raises():
+    with pytest.raises(ValueError, match=r"Doesn't support this encoder"):
+        resolve_vocab_file("bogus_base")
+
+
+def test_gpt2_vocab_properties():
+    pytest.importorskip("numpy")
+    try:
+        path = resolve_vocab_file("gpt2", allow_fetch=False)
+    except FileNotFoundError:
+        pytest.skip("gpt2 rank file not available offline")
+    vocab = Vocabulary.for_encoding("gpt2", allow_fetch=False)
+    # model/gpt2.tiktoken has 50,256 mergeable entries (SURVEY.md §1 L1).
+    assert len(vocab) == 50256
+    assert vocab.n_vocab == 50256
+    # All 256 single-byte tokens exist.
+    b2i = vocab.byte_to_id
+    assert b2i.shape == (256,)
+    assert (b2i >= 0).all()
+    # Round-trip through decoder.
+    assert vocab.decoder[vocab.encoder[b"hello"]] == b"hello"

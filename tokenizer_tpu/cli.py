@@ -1,0 +1,108 @@
+"""Console CLI, mirroring the reference console app.
+
+``tokenizer-tpu <model> <text>`` prints each token id with its decoded
+string and the round-trip decode, like ``Tokenizer.exe``
+(`Tokenizer_C#/Tokenizer/Program.cs:7-36`).  Extra subcommands expose
+the framework's bulk paths:
+
+* ``tokenizer-tpu encode-file <model> <path> [--tpu]`` — token count +
+  throughput for a file.
+* ``tokenizer-tpu bench ...`` — the perf harness (see
+  :mod:`tokenizer_tpu.runtime.perf`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_tokenize(args) -> int:
+    from .builder import create_by_model_name
+
+    tokenizer = create_by_model_name(args.model)
+    ids = tokenizer.encode(args.text, allowed_special="all")
+    # Program.cs:19-27: print "<id> : <decoded piece>" per token, then the
+    # round-trip decode of the whole sequence.
+    for tid in ids:
+        print(f"{tid} : {tokenizer.decode([tid])}")
+    print(tokenizer.decode(ids))
+    return 0
+
+
+def _cmd_encode_file(args) -> int:
+    from .builder import create_by_model_name
+
+    tokenizer = create_by_model_name(args.model, use_tpu=args.tpu)
+    data = open(args.path, "r", encoding="utf-8", errors="replace").read()
+    t0 = time.perf_counter()
+    if args.tpu:
+        ids = tokenizer.encode_batch([data])[0]
+    else:
+        ids = tokenizer.encode(data)
+    dt = time.perf_counter() - t0
+    nbytes = len(data.encode("utf-8"))
+    print(f"tokens: {len(ids)}")
+    print(f"bytes: {nbytes}")
+    print(f"seconds: {dt:.4f}")
+    print(f"MB/s: {nbytes / dt / 1e6:.2f}")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from .runtime.perf import run_folder_benchmark
+
+    result = run_folder_benchmark(
+        args.folder,
+        model=args.model,
+        min_seconds=args.min_seconds,
+        min_cycles=args.min_cycles,
+        use_tpu=args.tpu,
+    )
+    import json
+
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tokenizer-tpu",
+        description="TPU-native tiktoken-compatible BPE tokenizer",
+    )
+    sub = parser.add_subparsers(dest="cmd")
+
+    # Default / positional form: <model> <text>  (Program.cs:12-16).
+    p_tok = sub.add_parser("tokenize", help="tokenize a string")
+    p_tok.add_argument("model")
+    p_tok.add_argument("text")
+    p_tok.set_defaults(fn=_cmd_tokenize)
+
+    p_file = sub.add_parser("encode-file", help="encode a file, print stats")
+    p_file.add_argument("model")
+    p_file.add_argument("path")
+    p_file.add_argument("--tpu", action="store_true")
+    p_file.set_defaults(fn=_cmd_encode_file)
+
+    p_bench = sub.add_parser("bench", help="folder throughput benchmark")
+    p_bench.add_argument("folder")
+    p_bench.add_argument("--model", default="gpt2")
+    p_bench.add_argument("--min-seconds", type=float, default=10.0)
+    p_bench.add_argument("--min-cycles", type=int, default=5)
+    p_bench.add_argument("--tpu", action="store_true")
+    p_bench.set_defaults(fn=_cmd_bench)
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # Bare "<model> <text>" without a subcommand, like Tokenizer.exe.
+    if argv and argv[0] not in {"tokenize", "encode-file", "bench", "-h", "--help"}:
+        argv = ["tokenize", *argv]
+    args = parser.parse_args(argv)
+    if not hasattr(args, "fn"):
+        parser.print_help()
+        return 2
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,52 @@
+"""UTF-16 code-unit bookkeeping.
+
+The reference counts trim offsets (``encodeLength``) in C#/JS string
+units — UTF-16 code units — not Unicode code points
+(`Tokenizer_C#/TokenizerLib/TikTokenizer.cs:298,315`,
+`tokenizer_ts/src/tikTokenizer.ts:243`).  Python strings count code
+points, so astral-plane characters (emoji, rare CJK) occupy ONE Python
+character but TWO UTF-16 units.  These helpers keep the trim outputs
+byte-for-byte identical with the reference.
+"""
+
+from __future__ import annotations
+
+__all__ = ["utf16_len", "utf16_slice", "utf16_prefix_to_codepoints"]
+
+
+def utf16_len(s: str) -> int:
+    """Length of ``s`` in UTF-16 code units (JS ``s.length``)."""
+    # Each code point >= U+10000 encodes as a surrogate pair (2 units).
+    n = len(s)
+    for ch in s:
+        if ch >= "\U00010000":
+            n += 1
+    return n
+
+
+def utf16_prefix_to_codepoints(s: str, units: int) -> int:
+    """Number of leading code points of ``s`` spanning ``units`` UTF-16 units.
+
+    If ``units`` lands in the middle of a surrogate pair, the JS slice would
+    keep a lone surrogate; we round DOWN to the code-point boundary (the
+    reference never produces mid-surrogate trims for valid inputs because
+    piece boundaries are code-point boundaries).
+    """
+    if units <= 0:
+        return 0
+    u = 0
+    for i, ch in enumerate(s):
+        w = 2 if ch >= "\U00010000" else 1
+        if u + w > units:
+            return i
+        u += w
+        if u == units:
+            return i + 1
+    return len(s)
+
+
+def utf16_slice(s: str, start_units: int, end_units: int) -> str:
+    """``s.slice(start, end)`` with UTF-16 unit offsets (JS semantics)."""
+    start_cp = utf16_prefix_to_codepoints(s, start_units)
+    end_cp = utf16_prefix_to_codepoints(s, end_units)
+    return s[start_cp:end_cp]
