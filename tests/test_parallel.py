@@ -1,0 +1,94 @@
+"""Data-parallel sharding on the virtual 8-device CPU mesh (SURVEY.md §4).
+
+Validates: shard_map'd merge over a 1-D ("data",) mesh matches the
+single-device kernel bit-for-bit, counters psum-reduce correctly, and
+outputs reassemble in stable shard order.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from tokenizer_tpu.ops.merge_numpy import merge_packed_numpy
+from tokenizer_tpu.ops.pair_table import PairTable
+from tokenizer_tpu.vocab import Vocabulary
+
+
+@pytest.fixture(scope="module")
+def toy_table():
+    enc = {bytes([b]): b for b in range(256)}
+    for i, tok in enumerate([b"ab", b"cd", b"ef", b"abcd", b"cdef", b"abc"]):
+        enc[tok] = 256 + i
+    v = Vocabulary(enc, name="toy")
+    return v, PairTable.build(v, verify_closure=False)
+
+
+def _pack(pieces, table, L=16, B=None):
+    B = B or -(-len(pieces) // 128) * 128
+    ids = np.full((L, B), -1, np.int32)
+    lengths = np.zeros(B, np.int32)
+    for c, p in enumerate(pieces):
+        ids[: len(p), c] = table.byte_to_id[np.frombuffer(p, np.uint8)]
+        lengths[c] = len(p)
+    return ids, lengths
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8, (
+        "conftest must provide 8 virtual CPU devices"
+    )
+
+
+def test_sharded_merge_matches_single_device(toy_table):
+    vocab, table = toy_table
+    from tokenizer_tpu.parallel import data_mesh, make_sharded_merge_fn
+    from tokenizer_tpu.ops.merge_jax import device_table
+
+    mesh = data_mesh(8)
+    fn = make_sharded_merge_fn(table, mesh)
+    tab = device_table(table)
+
+    rng = np.random.default_rng(3)
+    pieces = [
+        rng.integers(ord("a"), ord("g"), size=rng.integers(2, 9))
+        .astype(np.uint8)
+        .tobytes()
+        for _ in range(1024)
+    ]
+    ids, lengths = _pack(pieces, table, B=1024)
+    out_ids, out_n, counters = fn(tab, ids, lengths)
+    out_ids, out_n = np.asarray(out_ids), np.asarray(out_n)
+
+    ref_ids, ref_n = merge_packed_numpy(ids, lengths, table)
+    assert (out_n == ref_n).all()
+    for c in range(1024):
+        assert (out_ids[: out_n[c], c] == ref_ids[: ref_n[c], c]).all()
+
+    # psum'd counters: global tokens and pieces, identical on all shards.
+    assert counters[0] == ref_n.sum()
+    assert counters[1] == (lengths > 0).sum() == 1024
+
+
+def test_sharded_output_sharding_layout(toy_table):
+    _, table = toy_table
+    from tokenizer_tpu.parallel import data_mesh, make_sharded_merge_fn
+    from tokenizer_tpu.ops.merge_jax import device_table
+
+    mesh = data_mesh(8)
+    fn = make_sharded_merge_fn(table, mesh)
+    ids, lengths = _pack([b"ab"] * 256, table, B=256)
+    out_ids, out_n, _ = fn(device_table(table), ids, lengths)
+    # Output stays sharded over ("data",) on the batch dim.
+    spec = out_ids.sharding.spec
+    assert tuple(spec) == (None, "data")
+    assert tuple(out_n.sharding.spec) == ("data",)
+
+
+def test_mesh_divisibility_check():
+    from tokenizer_tpu.parallel import data_mesh, local_batch_size
+
+    mesh = data_mesh(8)
+    assert local_batch_size(1024, mesh) == 128
+    with pytest.raises(ValueError, match="not divisible"):
+        local_batch_size(1001, mesh)

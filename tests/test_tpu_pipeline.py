@@ -1,0 +1,129 @@
+"""TpuTokenizer bulk pipeline vs host engine — bit-identical outputs.
+
+Runs on the CPU backend (conftest).  Every case asserts
+``encode_batch(texts) == [host.encode(t) for t in texts]`` including
+edge paths: empty texts, specials, oversized pieces (host-fallback +
+overflow rows), repeated batches (dedup reuse), and adversarial vocabs
+with pair-merge-unreachable tokens (force-host routing).
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from conftest import has_vocab
+
+from tokenizer_tpu.engine import TikTokenizer
+from tokenizer_tpu.tpu import TpuTokenizer
+from tokenizer_tpu.vocab import Vocabulary
+
+pytestmark = pytest.mark.skipif(
+    not has_vocab("gpt2"), reason="gpt2 rank file not available offline"
+)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from tokenizer_tpu import create_by_encoder_name
+
+    tpu = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    return tpu, host
+
+
+def _assert_match(tpu, host, texts, allowed=None):
+    got = tpu.encode_batch(texts, allowed_special=allowed)
+    for text, ids in zip(texts, got):
+        assert list(ids) == host.encode(text, allowed_special=allowed), repr(
+            text
+        )
+
+
+def test_basic_batch(pair):
+    tpu, host = pair
+    _assert_match(
+        tpu,
+        host,
+        [
+            "Hello World",
+            "",
+            "x",
+            "  spaces   and\ttabs\n\nnewlines ",
+            "unicode ⭐ 💩 你好 é",
+            "don't can't I'll they'd",
+            "numbers 1 22 333 123456789",
+        ],
+    )
+
+
+def test_specials_batch(pair):
+    tpu, host = pair
+    texts = [
+        "<|endoftext|>",
+        "a<|endoftext|>b",
+        "<|endoftext|><|endoftext|>",
+        "no specials here",
+    ]
+    _assert_match(tpu, host, texts, allowed=["<|endoftext|>"])
+    # Disallowed → encoded as plain text, still identical.
+    _assert_match(tpu, host, texts, allowed=None)
+
+
+def test_oversized_piece_overflow_row(pair):
+    tpu, host = pair
+    texts = ["z" * 5000, "ok " + "9" * 300 + " tail", "z" * 5000]
+    before = tpu.stats.host_fallback_pieces
+    _assert_match(tpu, host, texts)
+    assert tpu.stats.host_fallback_pieces > before
+    # Round-trip through decode.
+    ids = tpu.encode_batch(["z" * 5000])[0]
+    assert tpu.decode(ids) == "z" * 5000
+
+
+def test_dedup_reuse_across_calls(pair):
+    tpu, host = pair
+    u0 = tpu.stats.unique_pieces
+    _assert_match(tpu, host, ["repeat me repeat me repeat me"])
+    u1 = tpu.stats.unique_pieces
+    _assert_match(tpu, host, ["repeat me repeat me repeat me"])
+    # Second call adds no unique pieces.
+    assert tpu.stats.unique_pieces == u1
+    assert u1 > u0
+
+
+def test_row_matrix_growth(pair):
+    tpu, host = pair
+    # Thousands of distinct pieces force _reserve_rows doubling.
+    texts = [" ".join(f"tok{i}x{j}" for j in range(50)) for i in range(60)]
+    _assert_match(tpu, host, texts)
+
+
+def test_unreachable_token_force_host():
+    # Adversarial vocab: "xyz" exists but cannot be formed by merges;
+    # whole-piece parity requires the host-oracle route.
+    enc = {bytes([b]): b for b in range(256)}
+    enc[b"xyz"] = 256
+    enc[b"ab"] = 257
+    specials = {"<|eot|>": 999}
+    tpu = TpuTokenizer(dict(enc), specials, r"[a-z]+|\s+|.")
+    host = TikTokenizer(dict(enc), specials, r"[a-z]+|\s+|.")
+    assert b"xyz" in tpu.table.unreachable_tokens
+    texts = ["xyz", "ab xyz ab", "xyzxyz"]
+    got = tpu.encode_batch(texts)
+    for text, ids in zip(texts, got):
+        assert list(ids) == host.encode(text), repr(text)
+    # The whole-piece hit must yield the single token id.
+    assert list(tpu.encode_batch(["xyz"])[0]) == [256]
+    assert tpu.stats.host_fallback_pieces >= 1
+
+
+def test_batch_trims_and_decode_consistency(pair):
+    tpu, host = pair
+    text = "The quick brown fox ⭐ jumps 1234 over the lazy dog!"
+    assert tpu.encode(text) == host.encode(text)
+    assert tpu.encode_trim_suffix(text, 5) == host.encode_trim_suffix(text, 5)
+    assert tpu.encode_trim_prefix(text, 5) == host.encode_trim_prefix(text, 5)
+    ids = tpu.encode_batch([text])[0]
+    assert tpu.decode(ids) == text
+    assert tpu.decode_batch([ids]) == [text]

@@ -1,0 +1,295 @@
+"""TpuTokenizer: the device-accelerated bulk tokenizer.
+
+Same public surface and bit-identical output as the host
+:class:`~tokenizer_tpu.engine.TikTokenizer` (which it subclasses — all
+single-string and trim methods inherit the host path), plus bulk batch
+methods that execute the merge loop on the accelerator:
+
+  host:   special-token segmentation → regex pre-split → piece dedup
+  device: byte->id init, packed [L, B] tiles, vectorized tiktoken merge
+          (ops/merge_jax), pair table replicated on-chip
+  host:   vectorized reassembly — every unique piece's ids live as one
+          row of a padded int32 matrix; a text's id sequence is a single
+          masked gather ``rows[idx][mask]``, no per-token Python.
+
+The piece dedup table is the TPU replacement for the reference's LRU
+cache (TikTokenizer.cs:34, SURVEY.md §7 stage 5): every unique piece is
+merged once per process, and repeated pieces — the overwhelming
+majority under Zipf — cost one dict hit during splitting.
+
+Exactness: pieces longer than the largest bucket, and pieces equal to
+one of the (normally zero) pair-merge-unreachable vocab tokens, are
+routed through the host oracle (``PackPlan`` 'host' route) and counted
+in :attr:`stats` — never silently truncated (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bpe import byte_pair_encode
+from .engine import AllowedSpecial, TikTokenizer
+from .ops.packing import BUCKETS, pack_pieces
+from .utils.lru import DEFAULT_CACHE_SIZE
+
+__all__ = ["TpuTokenizer", "TpuStats"]
+
+#: Max token ids a packed piece can produce (== largest bucket's bytes).
+_MAX_OUT = BUCKETS[-1]
+#: Initial row-matrix capacity (doubles on demand).
+_INIT_ROWS = 4096
+
+
+@dataclass
+class TpuStats:
+    """Counters for the observability surface (SURVEY.md §5)."""
+
+    texts: int = 0
+    bytes_in: int = 0
+    pieces: int = 0
+    unique_pieces: int = 0
+    device_pieces: int = 0
+    host_fallback_pieces: int = 0
+    specials: int = 0
+    tokens_out: int = 0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+class TpuTokenizer(TikTokenizer):
+    """Device-accelerated tokenizer (drop-in for TikTokenizer)."""
+
+    def __init__(
+        self,
+        ranks_or_path,
+        special_tokens,
+        pattern: str,
+        cache_size: int = DEFAULT_CACHE_SIZE,
+    ):
+        super().__init__(ranks_or_path, special_tokens, pattern, cache_size)
+        self.table = self.vocab.pair_table()
+        #: pieces that must take the host oracle for exact whole-piece
+        #: parity (empty for every real BPE vocab).
+        self._force_host = {
+            t.decode("utf-8", errors="surrogateescape")
+            for t in self.table.unreachable_tokens
+        }
+        # Dedup state: piece str -> row; special id -> row; row matrix.
+        self._piece_rows: Dict[str, int] = {}
+        self._special_rows: Dict[int, int] = {}
+        self._rows = np.zeros((_INIT_ROWS, _MAX_OUT), dtype=np.int32)
+        self._row_len = np.zeros(_INIT_ROWS, dtype=np.int32)
+        self._n_rows = 0
+        #: rows whose pieces produced > _MAX_OUT ids (oversized host-
+        #: fallback pieces); row_len == -1 marks them.
+        self._overflow: Dict[int, np.ndarray] = {}
+        self.stats = TpuStats()
+        self._merge_fn = None
+        self._tab_dev = None
+
+    # -- row-matrix plumbing ------------------------------------------------
+
+    def _reserve_rows(self, k: int) -> int:
+        need = self._n_rows + k
+        cap = len(self._row_len)
+        if need > cap:
+            while cap < need:
+                cap *= 2
+            rows = np.zeros((cap, _MAX_OUT), dtype=np.int32)
+            rows[: self._n_rows] = self._rows[: self._n_rows]
+            lens = np.zeros(cap, dtype=np.int32)
+            lens[: self._n_rows] = self._row_len[: self._n_rows]
+            self._rows, self._row_len = rows, lens
+        start = self._n_rows
+        self._n_rows = need
+        return start
+
+    def _oracle_piece(self, pbytes: bytes):
+        """Host-oracle piece resolution: whole-piece hit, then BPE loop.
+
+        The reference order of operations (TikTokenizer.cs:261-268):
+        the encoder-dictionary hit precedes the merge loop, which is
+        exactly why unreachable-token pieces are routed here.
+        """
+        tid = self.encoder.get(pbytes)
+        return [tid] if tid is not None else byte_pair_encode(pbytes, self.encoder)
+
+    def _store_row(self, r: int, toks) -> None:
+        """Store a resolved id list, spilling > _MAX_OUT to the overflow map."""
+        k = len(toks)
+        if k <= _MAX_OUT:
+            self._rows[r, :k] = toks
+            self._row_len[r] = k
+        else:
+            self._overflow[r] = np.asarray(toks, dtype=np.int32)
+            self._row_len[r] = -1
+
+    def _special_row(self, tid: int) -> int:
+        r = self._special_rows.get(tid)
+        if r is None:
+            r = self._reserve_rows(1)
+            self._rows[r, 0] = tid
+            self._row_len[r] = 1
+            self._special_rows[tid] = r
+        return r
+
+    # -- device plumbing ----------------------------------------------------
+
+    def _device_merge(self, ids: np.ndarray, lengths: np.ndarray):
+        import jax.numpy as jnp
+
+        from .ops.merge_jax import device_table, jit_merge_fn
+
+        if self._merge_fn is None:
+            from .runtime.jaxenv import ensure_compile_cache
+
+            ensure_compile_cache()
+            self._merge_fn = jit_merge_fn(self.table)
+            self._tab_dev = device_table(self.table)
+        out_ids, out_n = self._merge_fn(
+            self._tab_dev, jnp.asarray(ids), jnp.asarray(lengths)
+        )
+        return np.asarray(out_ids), np.asarray(out_n)
+
+    def _resolve_new_pieces(self, new_pieces: List[str]) -> None:
+        """Merge not-yet-seen pieces into their reserved rows."""
+        if not new_pieces:
+            return
+        self.stats.unique_pieces += len(new_pieces)
+        as_bytes = [p.encode("utf-8") for p in new_pieces]
+        plan = pack_pieces(as_bytes, self.table.byte_to_id)
+        rows, row_len = self._rows, self._row_len
+        bucket_out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
+        for batch in plan.batches:
+            if batch.n_real == 0:
+                bucket_out.append(None)
+                continue
+            out_ids, out_n = self._device_merge(batch.ids, batch.lengths)
+            bucket_out.append((out_ids.T, out_n))
+            self.stats.device_pieces += batch.n_real
+        for piece, pbytes, route in zip(new_pieces, as_bytes, plan.route):
+            r = self._piece_rows[piece]
+            kind = route[0]
+            if kind == "direct":
+                tid = route[1]
+                if tid < 0:
+                    row_len[r] = 0
+                else:
+                    rows[r, 0] = tid
+                    row_len[r] = 1
+            elif kind == "bucket":
+                _, bi, col = route
+                out_rows, out_n = bucket_out[bi]
+                k = int(out_n[col])
+                rows[r, :k] = out_rows[col, :k]
+                row_len[r] = k
+            else:  # host oracle fallback (oversized piece)
+                self._store_row(r, self._oracle_piece(pbytes))
+                self.stats.host_fallback_pieces += 1
+
+    # -- splitting ----------------------------------------------------------
+
+    def _split_rows(
+        self, text: str, allowed: Optional[set], new_pieces: List[str]
+    ) -> List[int]:
+        """Text -> row-index list; unseen pieces get reserved rows.
+
+        Exact findNextSpecialToken + regex pre-split semantics of the
+        host engine (tikTokenizer.ts:123-144,192-223); per-piece work is
+        one dict probe.
+        """
+        piece_rows = self._piece_rows
+        findall = self._re.findall
+        items: List[int] = []
+        host_force = self._force_host
+        n = len(text)
+        start = 0
+        while True:
+            m, end = self._find_next_special(text, start, allowed)
+            for piece in findall(text, start, end):
+                r = piece_rows.get(piece)
+                if r is None:
+                    if piece in host_force:
+                        # Exact whole-piece parity for adversarial vocabs:
+                        # resolve via the host oracle immediately.
+                        r = self._reserve_rows(1)
+                        self._store_row(
+                            r, self._oracle_piece(piece.encode("utf-8"))
+                        )
+                        piece_rows[piece] = r
+                        self.stats.host_fallback_pieces += 1
+                    else:
+                        r = self._reserve_rows(1)
+                        piece_rows[piece] = r
+                        new_pieces.append(piece)
+                items.append(r)
+            if m is None:
+                break
+            items.append(self._special_row(self.special_tokens_encoder[m.group(0)]))
+            self.stats.specials += 1
+            start = m.end()
+            if start >= n:
+                break
+        self.stats.pieces += len(items)
+        return items
+
+    # -- bulk encode --------------------------------------------------------
+
+    def encode_batch(
+        self,
+        texts: Sequence[str],
+        allowed_special: AllowedSpecial = None,
+    ) -> List[np.ndarray]:
+        """Encode many texts; returns one int32 id array per text.
+
+        Bit-identical to ``[self.encode(t, allowed_special) for t in
+        texts]`` (enforced by the conformance tests) but with the merge
+        loop on the accelerator and no per-token Python.
+        """
+        allowed = self._resolve_allowed(allowed_special)
+        new_pieces: List[str] = []
+        per_text: List[List[int]] = []
+        for text in texts:
+            per_text.append(self._split_rows(text, allowed, new_pieces))
+            self.stats.texts += 1
+            self.stats.bytes_in += len(text.encode("utf-8"))
+        self._resolve_new_pieces(new_pieces)
+
+        rows, row_len = self._rows, self._row_len
+        col = np.arange(_MAX_OUT)
+        out: List[np.ndarray] = []
+        for items in per_text:
+            if not items:
+                out.append(np.empty(0, np.int32))
+                continue
+            idx = np.asarray(items, dtype=np.int64)
+            lens = row_len[idx]
+            if (lens < 0).any():
+                # Rare: text contains an oversized (overflow) piece.
+                overflow = self._overflow
+                ids = np.concatenate(
+                    [
+                        overflow[r] if row_len[r] < 0 else rows[r, : row_len[r]]
+                        for r in items
+                    ]
+                )
+            else:
+                ids = rows[idx][col[None, :] < lens[:, None]]
+            self.stats.tokens_out += ids.size
+            out.append(ids)
+        return out
+
+    def encode(self, text: str, allowed_special: AllowedSpecial = None):
+        """Single-string encode via the host path (lowest latency).
+
+        Bulk throughput should use :meth:`encode_batch`; both paths are
+        bit-identical.
+        """
+        return super().encode(text, allowed_special)
+
+    def decode_batch(self, ids_batch: Sequence[Sequence[int]]) -> List[str]:
+        return [self.decode(ids) for ids in ids_batch]

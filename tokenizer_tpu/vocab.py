@@ -227,7 +227,9 @@ class Vocabulary:
             raise ValueError("Encoder and decoder sizes don't match")
         self.n_vocab = (max(self.decoder) + 1) if self.decoder else 0
         self.max_token_len = max((len(t) for t in self.encoder), default=0)
-        self._lock = threading.Lock()
+        # RLock: pair_table() holds the lock while PairTable.build reads
+        # the byte_to_id property, which locks again on a cold cache.
+        self._lock = threading.RLock()
         self._byte_to_id: Optional[np.ndarray] = None
         self._pair_table = None
 
