@@ -1,0 +1,209 @@
+"""Differential tests: native C++ pre-splitter vs the python regex oracle.
+
+Every test asserts piece-for-piece byte equality between
+``runtime.native.presplit`` and the `regex` module compiling the same
+pattern — the native scanners must be indistinguishable from the
+reference's regex engine on any input.
+"""
+
+import random
+import string
+
+import pytest
+
+import regex as _regex
+
+from tokenizer_tpu.models.registry import (
+    REGEX_PATTERN_1,
+    REGEX_PATTERN_2,
+    REGEX_PATTERN_3,
+)
+from tokenizer_tpu.runtime import native
+
+if not native.available():
+    pytest.skip("native presplit unavailable (no toolchain)", allow_module_level=True)
+
+PATTERNS = [
+    (REGEX_PATTERN_1, 1),
+    (REGEX_PATTERN_2, 2),
+    (REGEX_PATTERN_3, 3),
+]
+_COMPILED = {pid: _regex.compile(pat) for pat, pid in PATTERNS}
+
+
+def _python_pieces(text: str, pid: int):
+    return [m.group(0).encode("utf-8") for m in _COMPILED[pid].finditer(text)]
+
+
+def _native_pieces(text: str, pid: int):
+    data = text.encode("utf-8")
+    ends = native.presplit(data, pid)
+    out = []
+    prev = 0
+    for e in ends:
+        out.append(data[prev:e])
+        prev = int(e)
+    assert prev == len(data), "native pieces must cover the input"
+    return out
+
+
+def _check(text: str, pid: int):
+    assert _native_pieces(text, pid) == _python_pieces(text, pid), (
+        pid,
+        repr(text),
+    )
+
+
+EDGE_CASES = [
+    "",
+    "Hello World",
+    "hello world how are you",
+    "  leading",
+    "trailing  ",
+    "   ",
+    " ",
+    "\t",
+    "\t\tx",
+    "a\tb",
+    "don't can't won't it's I'll we've they'd I'm you're",
+    "DON'T CAN'T WON'T IT'S I'LL WE'VE THEY'D I'M YOU'RE",
+    "dOn'T iT'S i'Ll wE'vE ThEy'D yOu'Re a'eR b'rE c'lL d'Ll",
+    "'s 't 're 've 'm 'll 'd 'S 'T 'RE 'VE 'M 'LL 'D",
+    "'x '' ' 'r 'v 'l 're've'll",
+    "1 22 333 4444 55555 123456789012345",
+    "x1y22z333",
+    "mixed123abc456def 12.34 1,000,000",
+    "!@#$%^&*()_+-=[]{}|;:'\",.<>?/~`",
+    "a!b@c#d",
+    " !! ",
+    "!!\n",
+    "!!\r\n\r\n",
+    " !!\n\nx",
+    "\n",
+    "\r\n",
+    "\n\n\n",
+    "a\nb",
+    "a\n\nb",
+    "a \n b",
+    "  \n\n  x",
+    " \r\n \r\n ",
+    "x\r",
+    "\rx",
+    "unicode ⭐ ✨ ♥ ÿ é ü ñ",
+    "emoji 💩 👍🏽 👨‍👩‍👧‍👦 🇺🇸",
+    "CJK 你好世界 こんにちは 안녕하세요",
+    "arabic مرحبا بالعالم hebrew שלום עולם",
+    "HELLO World hello WORLD HeLLo hELLO",
+    "XMLHttpRequest parseHTML HTMLElement",
+    "snake_case camelCase PascalCase SCREAMING_SNAKE",
+    "a'b'c''d",
+    "in/out a/b/c //comment /usr/local/bin",
+    "path\\to\\file c:\\windows",
+    "\u00a0\u2028\u2029\u3000 ideographic space",
+    "\x0b\x0c vertical tab form feed",
+    "combining a\u0301 e\u0301 \u0301alone",
+    "ʰʱʲ modifier letters ᄀᄁ",
+    "ｆｕｌｌｗｉｄｔｈ ＡＢＣ １２３",
+    "ⅣⅤⅥ roman numerals ½ ¾",
+    "ــــ tatweel وصل",
+    "🙂x🙂 🙂 x 🙂",
+    "𝕸𝖆𝖙𝖍 𝐁𝐨𝐥𝐝 𝒸𝓊𝓇𝓈𝒾𝓋𝑒",
+]
+
+
+@pytest.mark.parametrize("pid", [1, 2, 3])
+@pytest.mark.parametrize("idx", range(len(EDGE_CASES)))
+def test_edge_cases(pid, idx):
+    _check(EDGE_CASES[idx], pid)
+
+
+@pytest.mark.parametrize("pid", [1, 2, 3])
+def test_conformance_corpus(pid, lib_rs_text):
+    _check(lib_rs_text, pid)
+
+
+@pytest.mark.parametrize("pid", [1, 2, 3])
+def test_random_ascii_fuzz(pid):
+    rng = random.Random(1000 + pid)
+    alphabet = string.ascii_letters + string.digits + string.punctuation + " \t\n\r"
+    for _ in range(400):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 80))
+        )
+        _check(text, pid)
+
+
+@pytest.mark.parametrize("pid", [1, 2, 3])
+def test_random_unicode_fuzz(pid):
+    rng = random.Random(2000 + pid)
+    pools = [
+        "abcXYZ 123",
+        "⭐💩你好éñ\u0301ʰ",
+        " \t\n\r\u00a0\u3000",
+        "'’!./-_",
+        "ΑΒΓαβγ ЖЗИжзи",
+        "𝒜𝒷𝕔 𝟙𝟚𝟛",
+    ]
+    alphabet = "".join(pools)
+    for _ in range(400):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 60))
+        )
+        _check(text, pid)
+
+
+@pytest.mark.parametrize("pid", [1, 2, 3])
+def test_random_codepoint_fuzz(pid):
+    rng = random.Random(3000 + pid)
+    for _ in range(200):
+        chars = []
+        for _ in range(rng.randint(1, 40)):
+            cp = rng.choice(
+                [
+                    rng.randint(0x20, 0x7E),
+                    rng.randint(0xA0, 0x2FFF),
+                    rng.randint(0x1F000, 0x1FAFF),
+                    rng.randint(0x0300, 0x036F),  # combining marks
+                    0x27,  # apostrophe
+                    0x20,
+                    0x0A,
+                    0x0D,
+                ]
+            )
+            chars.append(chr(cp))
+        _check("".join(chars), pid)
+
+
+def test_split_dedup_consistency(lib_rs_text):
+    data = lib_rs_text.encode("utf-8")
+    for pid in (1, 2, 3):
+        ends = native.presplit(data, pid)
+        uidx, ustart, uend = native.split_dedup(data, pid)
+        assert len(uidx) == len(ends)
+        # Reconstruct each piece through the unique table.
+        prev = 0
+        for k, e in enumerate(ends):
+            u = uidx[k]
+            assert data[ustart[u] : uend[u]] == data[prev:e]
+            prev = int(e)
+        # Unique pieces really are unique.
+        uniqs = {data[a:b] for a, b in zip(ustart, uend)}
+        assert len(uniqs) == len(ustart)
+
+
+def test_segment_windows():
+    # presplit over a sub-range must match python's pos/endpos semantics.
+    text = "Hello <|x|> World  123"
+    data = text.encode("utf-8")
+    for pid in (1, 2, 3):
+        for a, b in [(0, 5), (5, len(data)), (6, 11), (0, 0)]:
+            ends = native.presplit(data, pid, a, b)
+            py = [
+                m.group(0).encode()
+                for m in _COMPILED[pid].finditer(text, a, b)
+            ]
+            got, prev = [], a
+            for e in ends:
+                got.append(data[prev:e])
+                prev = int(e)
+            assert got == py, (pid, a, b)

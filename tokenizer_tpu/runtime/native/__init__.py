@@ -1,0 +1,307 @@
+"""ctypes binding + on-demand build of the native pre-tokenizer.
+
+The shared library builds once per machine with the system g++ (no
+pybind11 dependency — plain C ABI) into the user cache dir; a missing
+toolchain degrades gracefully (``available()`` returns False and
+callers fall back to the python `regex` path).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "presplit",
+    "split_dedup",
+    "gather_rows",
+    "SplitContext",
+    "PATTERN_IDS",
+]
+
+_SRC_DIR = Path(__file__).resolve().parent
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+#: registry pattern -> native scanner id.
+PATTERN_IDS = {
+    "p1": 1,  # gpt2 / r50k_base / p50k_base / p50k_edit
+    "p2": 2,  # cl100k_base
+    "p3": 3,  # o200k_base
+}
+
+
+def _cache_dir() -> Path:
+    env = os.environ.get("TOKENIZER_TPU_CACHE_DIR")
+    base = Path(env) if env else Path.home() / ".cache" / "tokenizer_tpu"
+    return base / "native"
+
+
+def _build() -> Optional[Path]:
+    src = _SRC_DIR / "presplit.cpp"
+    hdr = _SRC_DIR / "unicode_tables.h"
+    if not (src.is_file() and hdr.is_file()):
+        return None
+    out_dir = _cache_dir()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stamp = f"{src.stat().st_mtime_ns}-{hdr.stat().st_mtime_ns}"
+    lib = out_dir / f"libttpresplit-{stamp}.so"
+    if lib.is_file():
+        return lib
+    tmp = out_dir / f".build-{os.getpid()}.so"
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-fno-exceptions",
+        "-shared",
+        "-fPIC",
+        str(src),
+        "-o",
+        str(tmp),
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=300
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    os.replace(tmp, lib)
+    return lib
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("TOKENIZER_TPU_NO_NATIVE"):
+            return None
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            return None
+        lib.tt_presplit.restype = ctypes.c_int64
+        lib.tt_presplit.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.tt_split_dedup.restype = ctypes.c_int64
+        lib.tt_split_dedup.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tt_ctx_new.restype = ctypes.c_void_p
+        lib.tt_ctx_new.argtypes = [ctypes.c_int]
+        lib.tt_ctx_free.restype = None
+        lib.tt_ctx_free.argtypes = [ctypes.c_void_p]
+        lib.tt_ctx_n_pieces.restype = ctypes.c_int64
+        lib.tt_ctx_n_pieces.argtypes = [ctypes.c_void_p]
+        lib.tt_ctx_split.restype = ctypes.c_int64
+        lib.tt_ctx_split.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tt_gather_rows.restype = ctypes.c_int64
+        lib.tt_gather_rows.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        if lib.tt_abi_version() != 1:
+            return None
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def presplit(
+    data: bytes, pattern_id: int, start: int = 0, end: Optional[int] = None
+) -> np.ndarray:
+    """Piece END byte offsets for buf[start:end). Raises if unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native presplit unavailable")
+    if end is None:
+        end = len(data)
+    cap = max(end - start, 1)
+    out = np.empty(cap, dtype=np.int32)
+    n = lib.tt_presplit(
+        data,
+        start,
+        end,
+        pattern_id,
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if n < 0:
+        raise RuntimeError(f"tt_presplit failed: {n}")
+    return out[:n]
+
+
+def split_dedup(
+    data: bytes, pattern_id: int, start: int = 0, end: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-pass split + dedup of buf[start:end).
+
+    Returns (piece_uidx int32[n_pieces], uniq_start int32[n_unique],
+    uniq_end int32[n_unique]); unique ranges index into ``data``.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native presplit unavailable")
+    if end is None:
+        end = len(data)
+    cap = max(end - start, 1)
+    piece_uidx = np.empty(cap, dtype=np.int32)
+    uniq_start = np.empty(cap, dtype=np.int32)
+    uniq_end = np.empty(cap, dtype=np.int32)
+    n_unique = ctypes.c_int64(0)
+    n = lib.tt_split_dedup(
+        data,
+        start,
+        end,
+        pattern_id,
+        piece_uidx.ctypes.data_as(ctypes.c_void_p),
+        cap,
+        uniq_start.ctypes.data_as(ctypes.c_void_p),
+        uniq_end.ctypes.data_as(ctypes.c_void_p),
+        cap,
+        ctypes.byref(n_unique),
+    )
+    if n < 0:
+        raise RuntimeError(f"tt_split_dedup failed: {n}")
+    u = n_unique.value
+    return piece_uidx[:n], uniq_start[:u].copy(), uniq_end[:u].copy()
+
+
+class SplitContext:
+    """Persistent native split + interning context (one per tokenizer).
+
+    ``split`` returns (piece_uids, new_pieces) where uids are stable
+    across calls and ``new_pieces`` lists (uid, bytes) pairs first seen
+    in this call.  Not thread-safe.
+    """
+
+    def __init__(self, pattern_id: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native presplit unavailable")
+        self._lib = lib
+        self._ctx = lib.tt_ctx_new(pattern_id)
+        if not self._ctx:
+            raise RuntimeError("tt_ctx_new failed")
+
+    def __del__(self):
+        ctx = getattr(self, "_ctx", None)
+        if ctx:
+            self._lib.tt_ctx_free(ctx)
+            self._ctx = None
+
+    @property
+    def n_pieces(self) -> int:
+        return self._lib.tt_ctx_n_pieces(self._ctx)
+
+    def split(
+        self, data: bytes, start: int = 0, end: Optional[int] = None
+    ) -> Tuple[np.ndarray, list]:
+        if end is None:
+            end = len(data)
+        cap = max(end - start, 1)
+        piece_uid = np.empty(cap, dtype=np.int32)
+        new_uid = np.empty(cap, dtype=np.int32)
+        new_start = np.empty(cap, dtype=np.int32)
+        new_end = np.empty(cap, dtype=np.int32)
+        n_new = ctypes.c_int64(0)
+        n = self._lib.tt_ctx_split(
+            self._ctx,
+            data,
+            start,
+            end,
+            piece_uid.ctypes.data_as(ctypes.c_void_p),
+            cap,
+            new_uid.ctypes.data_as(ctypes.c_void_p),
+            new_start.ctypes.data_as(ctypes.c_void_p),
+            new_end.ctypes.data_as(ctypes.c_void_p),
+            cap,
+            ctypes.byref(n_new),
+        )
+        if n < 0:
+            raise RuntimeError(f"tt_ctx_split failed: {n}")
+        news = [
+            (int(new_uid[j]), data[new_start[j] : new_end[j]])
+            for j in range(n_new.value)
+        ]
+        return piece_uid[:n], news
+
+
+def gather_rows(
+    rows: np.ndarray,
+    row_len: np.ndarray,
+    idx: np.ndarray,
+    total: int,
+) -> Optional[np.ndarray]:
+    """Concatenate rows[idx[k], :row_len[idx[k]]] into one int32 array.
+
+    Returns None if any referenced row is an overflow row (row_len<0);
+    the caller then takes its slow path.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native presplit unavailable")
+    out = np.empty(total, dtype=np.int32)
+    w = lib.tt_gather_rows(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        row_len.ctypes.data_as(ctypes.c_void_p),
+        rows.shape[1],
+        idx.ctypes.data_as(ctypes.c_void_p),
+        len(idx),
+        out.ctypes.data_as(ctypes.c_void_p),
+        total,
+    )
+    if w == -2:
+        return None
+    if w < 0:
+        raise RuntimeError("tt_gather_rows overflow")
+    return out[:w]

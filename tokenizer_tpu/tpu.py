@@ -32,6 +32,11 @@ import numpy as np
 
 from .bpe import byte_pair_encode
 from .engine import AllowedSpecial, TikTokenizer
+from .models.registry import (
+    REGEX_PATTERN_1,
+    REGEX_PATTERN_2,
+    REGEX_PATTERN_3,
+)
 from .ops.packing import BUCKETS, pack_pieces
 from .utils.lru import DEFAULT_CACHE_SIZE
 
@@ -87,6 +92,25 @@ class TpuTokenizer(TikTokenizer):
         #: rows whose pieces produced > _MAX_OUT ids (oversized host-
         #: fallback pieces); row_len == -1 marks them.
         self._overflow: Dict[int, np.ndarray] = {}
+
+        # Native (C++) split+dedup fast path: active when the library
+        # builds and the pattern is one of the three known generations.
+        from .runtime import native as _native
+
+        self._native = _native if _native.available() else None
+        self._native_pid = {
+            REGEX_PATTERN_1: 1,
+            REGEX_PATTERN_2: 2,
+            REGEX_PATTERN_3: 3,
+        }.get(pattern)
+        #: persistent native interning context + uid -> row map.
+        self._split_ctx = None
+        self._uid_rows = np.empty(_INIT_ROWS, dtype=np.int32)
+        self._force_host_bytes = set(self.table.unreachable_tokens)
+        #: specials in registration order as bytes (alternation order).
+        self._specials_bytes = [
+            (s.encode("utf-8"), tid) for s, tid in self.special_tokens_encoder.items()
+        ]
         self.stats = TpuStats()
         self._merge_fn = None
         self._tab_dev = None
@@ -156,11 +180,19 @@ class TpuTokenizer(TikTokenizer):
         return np.asarray(out_ids), np.asarray(out_n)
 
     def _resolve_new_pieces(self, new_pieces: List[str]) -> None:
-        """Merge not-yet-seen pieces into their reserved rows."""
-        if not new_pieces:
+        """Merge not-yet-seen str pieces into their reserved rows."""
+        self._resolve_new_piece_rows(
+            [p.encode("utf-8") for p in new_pieces],
+            [self._piece_rows[p] for p in new_pieces],
+        )
+
+    def _resolve_new_piece_rows(
+        self, as_bytes: List[bytes], row_ids: List[int]
+    ) -> None:
+        """Merge not-yet-seen byte pieces into the given rows."""
+        if not as_bytes:
             return
-        self.stats.unique_pieces += len(new_pieces)
-        as_bytes = [p.encode("utf-8") for p in new_pieces]
+        self.stats.unique_pieces += len(as_bytes)
         plan = pack_pieces(as_bytes, self.table.byte_to_id)
         rows, row_len = self._rows, self._row_len
         bucket_out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
@@ -171,8 +203,7 @@ class TpuTokenizer(TikTokenizer):
             out_ids, out_n = self._device_merge(batch.ids, batch.lengths)
             bucket_out.append((out_ids.T, out_n))
             self.stats.device_pieces += batch.n_real
-        for piece, pbytes, route in zip(new_pieces, as_bytes, plan.route):
-            r = self._piece_rows[piece]
+        for pbytes, r, route in zip(as_bytes, row_ids, plan.route):
             kind = route[0]
             if kind == "direct":
                 tid = route[1]
@@ -237,6 +268,126 @@ class TpuTokenizer(TikTokenizer):
         self.stats.pieces += len(items)
         return items
 
+    # -- native (C++) splitting --------------------------------------------
+
+    def _find_next_special_bytes(self, data: bytes, start: int, allowed_b):
+        """Byte-domain findNextSpecialToken: leftmost registered special
+        from ``start`` (ties: registration order, like the alternation);
+        matches not in ``allowed_b`` are skipped from start+1."""
+        specials = self._specials_bytes
+        pos = start
+        n = len(data)
+        while True:
+            bk = -1
+            bs = None
+            btid = -1
+            for sb, tid in specials:
+                k = data.find(sb, pos)
+                if k >= 0 and (bk < 0 or k < bk):
+                    bk, bs, btid = k, sb, tid
+            if bk < 0:
+                return None, n
+            if bs in allowed_b:
+                return (bk, bs, btid), bk
+            pos = bk + 1
+
+    def _register_new_uids(self, news, new_pieces: List[bytes]) -> None:
+        """Assign rows to first-seen uids; route force-host pieces."""
+        force_host = self._force_host_bytes
+        if news and news[-1][0] >= len(self._uid_rows):
+            cap = len(self._uid_rows)
+            while cap <= news[-1][0]:
+                cap *= 2
+            grown = np.empty(cap, dtype=np.int32)
+            grown[: len(self._uid_rows)] = self._uid_rows
+            self._uid_rows = grown
+        for uid, pb in news:
+            r = self._reserve_rows(1)
+            self._uid_rows[uid] = r
+            if force_host and pb in force_host:
+                self._store_row(r, self._oracle_piece(pb))
+                self.stats.host_fallback_pieces += 1
+            else:
+                new_pieces.append((r, pb))
+
+    def _split_rows_native(
+        self, data: bytes, allowed_b, new_pieces: List[bytes]
+    ) -> np.ndarray:
+        """Native split + persistent interning -> row-index array."""
+        if self._split_ctx is None:
+            self._split_ctx = self._native.SplitContext(self._native_pid)
+        ctx = self._split_ctx
+        chunks: List[np.ndarray] = []
+        n_pieces = 0
+        start = 0
+        n = len(data)
+        while True:
+            if allowed_b:
+                m, end = self._find_next_special_bytes(data, start, allowed_b)
+            else:
+                m, end = None, n
+            if end > start:
+                uids, news = ctx.split(data, start, end)
+                if news:
+                    self._register_new_uids(news, new_pieces)
+                chunks.append(self._uid_rows[uids])
+                n_pieces += len(uids)
+            if m is None:
+                break
+            _, sb, tid = m
+            chunks.append(
+                np.array([self._special_row(tid)], dtype=np.int32)
+            )
+            self.stats.specials += 1
+            start = m[0] + len(sb)
+            if start >= n:
+                break
+        self.stats.pieces += n_pieces
+        if not chunks:
+            return np.empty(0, np.int32)
+        return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+
+    def _encode_batch_native(
+        self, texts: Sequence[str], allowed
+    ) -> List[np.ndarray]:
+        native = self._native
+        allowed_b = (
+            {s.encode("utf-8") for s in allowed} if allowed else None
+        )
+        new_pieces: List[Tuple[int, bytes]] = []
+        per_text: List[np.ndarray] = []
+        for text in texts:
+            data = text.encode("utf-8")
+            per_text.append(
+                self._split_rows_native(data, allowed_b, new_pieces)
+            )
+            self.stats.texts += 1
+            self.stats.bytes_in += len(data)
+        self._resolve_new_piece_rows(
+            [pb for _, pb in new_pieces], [r for r, _ in new_pieces]
+        )
+
+        rows, row_len = self._rows, self._row_len
+        out: List[np.ndarray] = []
+        for idx in per_text:
+            if idx.size == 0:
+                out.append(np.empty(0, np.int32))
+                continue
+            lens = row_len[idx]
+            if (lens < 0).any():
+                overflow = self._overflow
+                ids = np.concatenate(
+                    [
+                        overflow[r] if row_len[r] < 0 else rows[r, : row_len[r]]
+                        for r in idx
+                    ]
+                )
+            else:
+                ids = native.gather_rows(rows, row_len, idx, int(lens.sum()))
+            self.stats.tokens_out += ids.size
+            out.append(ids)
+        return out
+
     # -- bulk encode --------------------------------------------------------
 
     def encode_batch(
@@ -251,6 +402,8 @@ class TpuTokenizer(TikTokenizer):
         loop on the accelerator and no per-token Python.
         """
         allowed = self._resolve_allowed(allowed_special)
+        if self._native is not None and self._native_pid is not None:
+            return self._encode_batch_native(texts, allowed)
         new_pieces: List[str] = []
         per_text: List[List[int]] = []
         for text in texts:
