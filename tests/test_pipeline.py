@@ -1,0 +1,140 @@
+"""Corpus pipeline: chunking, sharding, resume, and bulk decode."""
+
+import json
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from conftest import has_vocab
+
+from tokenizer_tpu.runtime.pipeline import (
+    ShardProgress,
+    encode_corpus,
+    iter_corpus_files,
+)
+
+pytestmark = pytest.mark.skipif(
+    not has_vocab("gpt2"), reason="gpt2 rank file not available offline"
+)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    from tokenizer_tpu import create_by_encoder_name
+
+    return create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+
+
+DOCS = [f"document {i}: the quick brown fox {i * 37}! " * 20 for i in range(23)]
+
+
+def _read_all(out_dir, shard, n_chunks):
+    ids = []
+    for ci in range(n_chunks):
+        z = np.load(out_dir / f"tokens_s{shard:05d}_c{ci:06d}.npz")
+        offs = z["offsets"]
+        flat = z["ids"]
+        for d in range(len(offs) - 1):
+            ids.append(list(flat[offs[d] : offs[d + 1]]))
+    return ids
+
+
+def test_single_shard_matches_encode(tok, tmp_path):
+    prog = encode_corpus(
+        DOCS, tok, tmp_path, chunk_bytes=2000, shard=0, n_shards=1
+    )
+    assert prog.docs == len(DOCS)
+    assert prog.tokens_out > 0
+    got = _read_all(tmp_path, 0, prog.chunks_done)
+    want = [list(x) for x in tok.encode_batch(DOCS)]
+    assert got == want
+
+
+def test_resume_skips_completed_chunks(tok, tmp_path):
+    p1 = encode_corpus(
+        DOCS, tok, tmp_path, chunk_bytes=2000, shard=0, n_shards=1
+    )
+    before = json.loads(
+        (tmp_path / "manifest_shard00000.json").read_text()
+    )
+    # Second run: everything already durable -> counters unchanged.
+    p2 = encode_corpus(
+        DOCS, tok, tmp_path, chunk_bytes=2000, shard=0, n_shards=1
+    )
+    assert p2.chunks_done == p1.chunks_done
+    assert p2.tokens_out == before["tokens_out"]
+
+
+def test_partial_resume(tok, tmp_path):
+    prog = encode_corpus(
+        DOCS, tok, tmp_path, chunk_bytes=2000, shard=0, n_shards=1
+    )
+    full_tokens = prog.tokens_out
+    # Rewind the manifest by two chunks: only those should re-run.
+    m = tmp_path / "manifest_shard00000.json"
+    state = json.loads(m.read_text())
+    state["chunks_done"] -= 2
+    m.write_text(json.dumps(state))
+    p2 = encode_corpus(
+        DOCS, tok, tmp_path, chunk_bytes=2000, shard=0, n_shards=1
+    )
+    assert p2.chunks_done == prog.chunks_done
+    got = _read_all(tmp_path, 0, p2.chunks_done)
+    want = [list(x) for x in tok.encode_batch(DOCS)]
+    assert got == want
+    assert full_tokens > 0
+
+
+def test_two_shards_interleave_and_cover(tok, tmp_path):
+    p0 = encode_corpus(
+        DOCS, tok, tmp_path, chunk_bytes=1500, shard=0, n_shards=2
+    )
+    p1 = encode_corpus(
+        DOCS, tok, tmp_path, chunk_bytes=1500, shard=1, n_shards=2
+    )
+    assert p0.docs + p1.docs == len(DOCS)
+    got0 = _read_all(tmp_path, 0, p0.chunks_done)
+    got1 = _read_all(tmp_path, 1, p1.chunks_done)
+    want = [list(x) for x in tok.encode_batch(DOCS)]
+    # Order restored by stable (shard, position) interleave.
+    assert got0 == want[0::2]
+    assert got1 == want[1::2]
+
+
+def test_shard_mismatch_rejected(tok, tmp_path):
+    encode_corpus(DOCS, tok, tmp_path, chunk_bytes=1500, shard=0, n_shards=2)
+    with pytest.raises(ValueError, match="was written for shard"):
+        encode_corpus(
+            DOCS, tok, tmp_path, chunk_bytes=1500, shard=0, n_shards=4
+        )
+
+
+def test_iter_corpus_files(tmp_path):
+    (tmp_path / "a.txt").write_text("alpha")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.txt").write_text("beta")
+    docs = list(iter_corpus_files([str(tmp_path)]))
+    assert docs == ["alpha", "beta"]
+
+
+def test_all_sum_counters():
+    from tokenizer_tpu.parallel.multihost import all_sum
+
+    out = all_sum([3.0, 5.0])
+    assert list(out) == [3.0, 5.0]
+
+
+def test_bulk_decode_matches_host(tok):
+    from tokenizer_tpu import create_by_encoder_name
+
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    text = ("bulk decode ⭐ parity 123! " * 40) + "<|endoftext|>"
+    ids = host.encode(text, allowed_special=["<|endoftext|>"])
+    assert len(ids) >= 64  # exercises the native gather path
+    assert tok.decode(ids) == host.decode(ids) == text
+    # Unknown ids are skipped identically.
+    weird = ids + [987654, -3]
+    assert tok.decode(weird) == host.decode(weird)

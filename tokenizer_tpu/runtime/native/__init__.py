@@ -146,6 +146,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.tt_gather_bytes.restype = ctypes.c_int64
+        lib.tt_gather_bytes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         if lib.tt_abi_version() != 1:
             return None
         _LIB = lib
@@ -274,6 +284,32 @@ class SplitContext:
             for j in range(n_new.value)
         ]
         return piece_uid[:n], news
+
+
+def gather_bytes(
+    blob: np.ndarray,
+    offsets: np.ndarray,
+    ids: np.ndarray,
+    total: int,
+) -> bytes:
+    """Concatenate blob[offsets[id]:offsets[id+1]] over ids (skip unknown)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native presplit unavailable")
+    out = np.empty(total, dtype=np.uint8)
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    w = lib.tt_gather_bytes(
+        blob.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        len(offsets) - 1,
+        ids.ctypes.data_as(ctypes.c_void_p),
+        len(ids),
+        out.ctypes.data_as(ctypes.c_void_p),
+        total,
+    )
+    if w < 0:
+        raise RuntimeError("tt_gather_bytes overflow")
+    return out[:w].tobytes()
 
 
 def gather_rows(

@@ -1,0 +1,156 @@
+"""Corpus encoding pipeline: chunked, resumable, shard-parallel.
+
+The production bulk path for the BASELINE corpus configs (1 GB+ shard
+encode, multi-host data parallelism):
+
+* documents stream in and are grouped into ~``chunk_bytes`` batches;
+* each chunk runs through :meth:`TpuTokenizer.encode_batch` (native
+  split + device merge) and is written as ``tokens_NNNNNN.npz``
+  (flat int32 ids + per-document offsets — order-preserving);
+* a per-shard JSON manifest records completed chunks and counters, so
+  a preempted job resumes exactly where it stopped (SURVEY.md §5
+  checkpoint/resume: tokenization is stateless, chunk-level retry
+  suffices — vocab tables are immutable inputs and never checkpointed);
+* shards are document-interleaved (doc k belongs to shard k % n), so
+  multi-host output order is restored by stable (shard, chunk, doc)
+  indices; shards never exchange token data (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ShardProgress", "encode_corpus", "iter_corpus_files"]
+
+
+def iter_corpus_files(paths: Sequence[str]) -> Iterator[str]:
+    """Yield document texts from files/directories (utf-8, replace)."""
+    for p in paths:
+        path = Path(p)
+        files = (
+            sorted(f for f in path.rglob("*") if f.is_file())
+            if path.is_dir()
+            else [path]
+        )
+        for f in files:
+            try:
+                yield f.read_text(encoding="utf-8", errors="replace")
+            except OSError:
+                continue
+
+
+@dataclass
+class ShardProgress:
+    """Manifest state for one shard (JSON-serialized next to outputs)."""
+
+    shard: int
+    n_shards: int
+    chunks_done: int = 0
+    docs: int = 0
+    bytes_in: int = 0
+    tokens_out: int = 0
+    seconds: float = 0.0
+
+    @classmethod
+    def load(cls, path: Path) -> Optional["ShardProgress"]:
+        try:
+            return cls(**json.loads(path.read_text()))
+        except (OSError, ValueError, TypeError):
+            return None
+
+    def save(self, path: Path) -> None:
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.__dict__))
+        os.replace(tmp, path)
+
+
+def _chunks(
+    docs: Iterable[str], chunk_bytes: int, shard: int, n_shards: int
+) -> Iterator[List[str]]:
+    batch: List[str] = []
+    size = 0
+    for k, doc in enumerate(docs):
+        if k % n_shards != shard:
+            continue
+        batch.append(doc)
+        size += len(doc)
+        if size >= chunk_bytes:
+            yield batch
+            batch, size = [], 0
+    if batch:
+        yield batch
+
+
+def encode_corpus(
+    docs: Iterable[str],
+    tokenizer,
+    out_dir: str,
+    chunk_bytes: int = 8 << 20,
+    shard: Optional[int] = None,
+    n_shards: Optional[int] = None,
+    allowed_special=None,
+    write_tokens: bool = True,
+    resume: bool = True,
+) -> ShardProgress:
+    """Encode a document stream into per-chunk token files + manifest.
+
+    ``shard``/``n_shards`` default to this process's slot in the jax
+    multi-host job (1 process -> single shard).  Returns the final
+    progress record; counters across shards can be reduced with
+    :func:`tokenizer_tpu.parallel.multihost.all_sum`.
+    """
+    if shard is None or n_shards is None:
+        try:
+            import jax
+
+            shard = jax.process_index()
+            n_shards = jax.process_count()
+        except Exception:
+            shard, n_shards = 0, 1
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest_path = out / f"manifest_shard{shard:05d}.json"
+    progress = (
+        (ShardProgress.load(manifest_path) if resume else None)
+        or ShardProgress(shard=shard, n_shards=n_shards)
+    )
+    if progress.n_shards != n_shards or progress.shard != shard:
+        raise ValueError(
+            f"manifest {manifest_path} was written for shard "
+            f"{progress.shard}/{progress.n_shards}, not {shard}/{n_shards}"
+        )
+
+    for ci, batch in enumerate(_chunks(docs, chunk_bytes, shard, n_shards)):
+        if ci < progress.chunks_done:
+            continue  # resume: chunk already durable
+        t0 = time.perf_counter()
+        ids_list = tokenizer.encode_batch(batch, allowed_special)
+        if write_tokens:
+            flat = (
+                np.concatenate(ids_list)
+                if ids_list
+                else np.empty(0, np.int32)
+            )
+            offsets = np.zeros(len(ids_list) + 1, dtype=np.int64)
+            np.cumsum([len(x) for x in ids_list], out=offsets[1:])
+            fname = out / f"tokens_s{shard:05d}_c{ci:06d}.npz"
+            tmp = out / f".tmp_s{shard:05d}_c{ci:06d}.npz"
+            np.savez(tmp, ids=flat, offsets=offsets)
+            os.replace(tmp, fname)
+        progress.seconds += time.perf_counter() - t0
+        progress.docs += len(batch)
+        progress.bytes_in += sum(
+            len(d.encode("utf-8", "ignore")) for d in batch
+        )
+        progress.tokens_out += int(sum(len(x) for x in ids_list))
+        progress.chunks_done = ci + 1
+        progress.save(manifest_path)
+    return progress

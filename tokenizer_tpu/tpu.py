@@ -111,6 +111,9 @@ class TpuTokenizer(TikTokenizer):
         self._specials_bytes = [
             (s.encode("utf-8"), tid) for s, tid in self.special_tokens_encoder.items()
         ]
+        # Lazy decode table (token-byte blob + offsets) for bulk decode.
+        self._dec_blob: Optional[np.ndarray] = None
+        self._dec_offs: Optional[np.ndarray] = None
         self.stats = TpuStats()
         self._merge_fn = None
         self._tab_dev = None
@@ -443,6 +446,43 @@ class TpuTokenizer(TikTokenizer):
         bit-identical.
         """
         return super().encode(text, allowed_special)
+
+    # -- bulk decode --------------------------------------------------------
+
+    def _decode_table(self):
+        if self._dec_blob is None:
+            entries = dict(self.decoder)
+            for s, tid in self.special_tokens_encoder.items():
+                entries[tid] = s.encode("utf-8")
+            max_id = max(entries) if entries else 0
+            offs = np.zeros(max_id + 2, dtype=np.int64)
+            parts: List[bytes] = []
+            pos = 0
+            for i in range(max_id + 1):
+                b = entries.get(i)
+                if b:
+                    parts.append(b)
+                    pos += len(b)
+                offs[i + 1] = pos
+            self._dec_blob = np.frombuffer(b"".join(parts), dtype=np.uint8)
+            self._dec_offs = offs
+        return self._dec_blob, self._dec_offs
+
+    def decode(self, tokens) -> str:
+        """Decode; bulk inputs use the native byte-gather path.
+
+        Bit-identical to the host engine's decode (unknown ids skipped,
+        invalid UTF-8 -> U+FFFD).
+        """
+        if self._native is None or len(tokens) < 64:
+            return super().decode(tokens)
+        blob, offs = self._decode_table()
+        ids = np.ascontiguousarray(tokens, dtype=np.int32)
+        valid = (ids >= 0) & (ids < len(offs) - 1)
+        safe = np.where(valid, ids, 0)
+        lens = np.where(valid, offs[safe + 1] - offs[safe], 0)
+        raw = self._native.gather_bytes(blob, offs, ids, int(lens.sum()))
+        return raw.decode("utf-8", errors="replace")
 
     def decode_batch(self, ids_batch: Sequence[Sequence[int]]) -> List[str]:
         return [self.decode(ids) for ids in ids_batch]
