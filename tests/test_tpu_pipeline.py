@@ -118,6 +118,29 @@ def test_unreachable_token_force_host():
     assert tpu.stats.host_fallback_pieces >= 1
 
 
+def test_concurrent_intern_stress(pair):
+    """Many distinct pieces across many segments: exercises the native
+    context's multi-threaded scan with racing lock-free reads and
+    mutex inserts (plus table/arena growth mid-batch)."""
+    tpu, host = pair
+    import random
+
+    rng = random.Random(99)
+    texts = []
+    for d in range(64):
+        words = [
+            "w%dx%d" % (d, rng.randrange(4000)) for _ in range(400)
+        ]
+        texts.append(" ".join(words))
+    got = tpu.encode_batch(texts)
+    for text, ids in zip(texts, got):
+        assert list(ids) == host.encode(text), text[:60]
+    # Same batch again: fully interned, still identical.
+    got2 = tpu.encode_batch(texts)
+    for a, b in zip(got, got2):
+        assert list(a) == list(b)
+
+
 def test_batch_trims_and_decode_consistency(pair):
     tpu, host = pair
     text = "The quick brown fox ⭐ jumps 1234 over the lazy dog!"

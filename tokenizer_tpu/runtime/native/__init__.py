@@ -57,22 +57,28 @@ def _build() -> Optional[Path]:
     if lib.is_file():
         return lib
     tmp = out_dir / f".build-{os.getpid()}.so"
-    cmd = [
-        os.environ.get("CXX", "g++"),
-        "-O3",
-        "-fno-exceptions",
-        "-shared",
-        "-fPIC",
-        str(src),
-        "-o",
-        str(tmp),
-    ]
+    def _compile(extra):
+        cmd = [
+            os.environ.get("CXX", "g++"),
+            "-O3",
+            *extra,
+            "-fno-exceptions",
+            "-pthread",
+            "-shared",
+            "-fPIC",
+            str(src),
+            "-o",
+            str(tmp),
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+
     try:
-        subprocess.run(
-            cmd, check=True, capture_output=True, timeout=300
-        )
+        _compile(["-march=native"])
     except (OSError, subprocess.SubprocessError):
-        return None
+        try:
+            _compile([])  # older toolchains / cross environments
+        except (OSError, subprocess.SubprocessError):
+            return None
     os.replace(tmp, lib)
     return lib
 
@@ -143,6 +149,28 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_void_p,
             ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.tt_ctx_split_batch.restype = ctypes.c_int64
+        lib.tt_ctx_split_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tt_sum_lens.restype = ctypes.c_int64
+        lib.tt_sum_lens.argtypes = [
+            ctypes.c_void_p,
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
@@ -284,6 +312,70 @@ class SplitContext:
             for j in range(n_new.value)
         ]
         return piece_uid[:n], news
+
+    def split_batch(
+        self,
+        data: bytes,
+        seg_start: np.ndarray,
+        seg_end: np.ndarray,
+        nthreads: int = 0,
+    ):
+        """Parallel scan + deterministic intern over many segments.
+
+        Returns (piece_uid_buffer, seg_offsets, seg_counts, news):
+        segment k's uids are ``buffer[seg_offsets[k] :
+        seg_offsets[k] + seg_counts[k]]``.
+        """
+        if nthreads <= 0:
+            nthreads = min(os.cpu_count() or 1, 16)
+        n_segs = len(seg_start)
+        if n_segs == 0:
+            return np.empty(0, np.int32), np.empty(0, np.int64), np.empty(
+                0, np.int64
+            ), []
+        seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
+        seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
+        base = int(seg_start[0])
+        cap = max(int(seg_end[-1]) - base, 1)
+        piece_uid = np.empty(cap, dtype=np.int32)
+        seg_np = np.empty(n_segs, dtype=np.int64)
+        new_uid = np.empty(cap, dtype=np.int32)
+        new_start = np.empty(cap, dtype=np.int32)
+        new_end = np.empty(cap, dtype=np.int32)
+        n_new = ctypes.c_int64(0)
+        rc = self._lib.tt_ctx_split_batch(
+            self._ctx,
+            data,
+            seg_start.ctypes.data_as(ctypes.c_void_p),
+            seg_end.ctypes.data_as(ctypes.c_void_p),
+            n_segs,
+            nthreads,
+            piece_uid.ctypes.data_as(ctypes.c_void_p),
+            seg_np.ctypes.data_as(ctypes.c_void_p),
+            new_uid.ctypes.data_as(ctypes.c_void_p),
+            new_start.ctypes.data_as(ctypes.c_void_p),
+            new_end.ctypes.data_as(ctypes.c_void_p),
+            cap,
+            ctypes.byref(n_new),
+        )
+        if rc < 0:
+            raise RuntimeError(f"tt_ctx_split_batch failed: {rc}")
+        news = [
+            (int(new_uid[j]), data[new_start[j] : new_end[j]])
+            for j in range(n_new.value)
+        ]
+        offsets = seg_start - base
+        return piece_uid, offsets, seg_np, news
+
+
+def sum_lens(row_len: np.ndarray, idx: np.ndarray) -> int:
+    """sum(row_len[idx]); -1 if any referenced row is an overflow row."""
+    lib = _load()
+    return lib.tt_sum_lens(
+        row_len.ctypes.data_as(ctypes.c_void_p),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        len(idx),
+    )
 
 
 def gather_bytes(

@@ -353,22 +353,90 @@ class TpuTokenizer(TikTokenizer):
     def _encode_batch_native(
         self, texts: Sequence[str], allowed
     ) -> List[np.ndarray]:
+        """Batched native path: one buffer, parallel scan, one intern pass.
+
+        All texts concatenate into a single byte buffer whose
+        special-free segments go through ``tt_ctx_split_batch`` (pieces
+        never cross segment/document boundaries, so per-segment scans
+        are exact — SURVEY.md §5 multi-host determinism applies at doc
+        granularity too).
+        """
         native = self._native
+        if self._split_ctx is None:
+            self._split_ctx = native.SplitContext(self._native_pid)
         allowed_b = (
             {s.encode("utf-8") for s in allowed} if allowed else None
         )
-        new_pieces: List[Tuple[int, bytes]] = []
-        per_text: List[np.ndarray] = []
-        for text in texts:
-            data = text.encode("utf-8")
-            per_text.append(
-                self._split_rows_native(data, allowed_b, new_pieces)
-            )
+        datas = [t.encode("utf-8") for t in texts]
+        buf = b"".join(datas)
+        seg_starts: List[int] = []
+        seg_ends: List[int] = []
+        text_items: List[List[Tuple[str, int]]] = []
+        off = 0
+        for data in datas:
+            items: List[Tuple[str, int]] = []
+            n = len(data)
+            start = 0
+            while True:
+                if allowed_b:
+                    m, end = self._find_next_special_bytes(
+                        data, start, allowed_b
+                    )
+                else:
+                    m, end = None, n
+                if end > start:
+                    items.append(("s", len(seg_starts)))
+                    seg_starts.append(off + start)
+                    seg_ends.append(off + end)
+                if m is None:
+                    break
+                _, sb, tid = m
+                items.append(("x", self._special_row(tid)))
+                self.stats.specials += 1
+                start = m[0] + len(sb)
+                if start >= n:
+                    break
+            text_items.append(items)
+            off += n
             self.stats.texts += 1
-            self.stats.bytes_in += len(data)
+            self.stats.bytes_in += n
+
+        new_pieces: List[Tuple[int, bytes]] = []
+        if seg_starts:
+            uid_buf, seg_offs, seg_counts, news = self._split_ctx.split_batch(
+                buf, np.asarray(seg_starts), np.asarray(seg_ends)
+            )
+            if news:
+                self._register_new_uids(news, new_pieces)
+            self.stats.pieces += int(seg_counts.sum())
+        else:
+            uid_buf = seg_offs = seg_counts = None
         self._resolve_new_piece_rows(
             [pb for _, pb in new_pieces], [r for r, _ in new_pieces]
         )
+
+        uid_rows = self._uid_rows
+        per_text: List[np.ndarray] = []
+        for items in text_items:
+            if len(items) == 1 and items[0][0] == "s":
+                si = items[0][1]
+                o = int(seg_offs[si])
+                per_text.append(
+                    uid_rows[uid_buf[o : o + int(seg_counts[si])]]
+                )
+                continue
+            chunks: List[np.ndarray] = []
+            for kind, v in items:
+                if kind == "s":
+                    o = int(seg_offs[v])
+                    chunks.append(
+                        uid_rows[uid_buf[o : o + int(seg_counts[v])]]
+                    )
+                else:
+                    chunks.append(np.array([v], dtype=np.int32))
+            per_text.append(
+                np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+            )
 
         rows, row_len = self._rows, self._row_len
         out: List[np.ndarray] = []
@@ -376,8 +444,9 @@ class TpuTokenizer(TikTokenizer):
             if idx.size == 0:
                 out.append(np.empty(0, np.int32))
                 continue
-            lens = row_len[idx]
-            if (lens < 0).any():
+            total = native.sum_lens(row_len, idx)
+            if total < 0:
+                # Rare: text references an oversized (overflow) piece.
                 overflow = self._overflow
                 ids = np.concatenate(
                     [
@@ -386,7 +455,7 @@ class TpuTokenizer(TikTokenizer):
                     ]
                 )
             else:
-                ids = native.gather_rows(rows, row_len, idx, int(lens.sum()))
+                ids = native.gather_rows(rows, row_len, idx, total)
             self.stats.tokens_out += ids.size
             out.append(ids)
         return out
