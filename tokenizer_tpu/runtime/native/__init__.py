@@ -184,7 +184,23 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
-        if lib.tt_abi_version() != 1:
+        lib.tt_assemble_batch.restype = ctypes.c_int64
+        lib.tt_assemble_batch.argtypes = [
+            ctypes.c_void_p,  # rows
+            ctypes.c_void_p,  # row_len
+            ctypes.c_int64,  # stride
+            ctypes.c_void_p,  # uid_rows (nullable)
+            ctypes.c_void_p,  # uid_buf
+            ctypes.c_void_p,  # seg_offs
+            ctypes.c_void_p,  # seg_counts
+            ctypes.c_int64,  # n_segs
+            ctypes.c_int,  # nthreads
+            ctypes.c_void_p,  # totals
+            ctypes.c_void_p,  # out_offs (nullable)
+            ctypes.c_void_p,  # out (nullable)
+            ctypes.c_int64,  # out_cap
+        ]
+        if lib.tt_abi_version() != 2:
             return None
         _LIB = lib
         return _LIB
@@ -402,6 +418,75 @@ def gather_bytes(
     if w < 0:
         raise RuntimeError("tt_gather_bytes overflow")
     return out[:w].tobytes()
+
+
+def assemble_batch(
+    rows: np.ndarray,
+    row_len: np.ndarray,
+    uid_rows: Optional[np.ndarray],
+    uid_buf: np.ndarray,
+    seg_offs: np.ndarray,
+    seg_counts: np.ndarray,
+    nthreads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-call parallel token-stream assembly for a whole batch.
+
+    Returns ``(out, out_offs, totals)``: segment k's ids are
+    ``out[out_offs[k] : out_offs[k] + totals[k]]``; ``totals[k] == -1``
+    marks a segment referencing an overflow row (``row_len < 0``), which
+    the caller must assemble via its slow path.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native presplit unavailable")
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+    n_segs = len(seg_counts)
+    seg_offs = np.ascontiguousarray(seg_offs, dtype=np.int64)
+    seg_counts = np.ascontiguousarray(seg_counts, dtype=np.int64)
+    totals = np.empty(n_segs, dtype=np.int64)
+    ur_ptr = (
+        uid_rows.ctypes.data_as(ctypes.c_void_p) if uid_rows is not None else None
+    )
+    grand = lib.tt_assemble_batch(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        row_len.ctypes.data_as(ctypes.c_void_p),
+        rows.shape[1],
+        ur_ptr,
+        uid_buf.ctypes.data_as(ctypes.c_void_p),
+        seg_offs.ctypes.data_as(ctypes.c_void_p),
+        seg_counts.ctypes.data_as(ctypes.c_void_p),
+        n_segs,
+        nthreads,
+        totals.ctypes.data_as(ctypes.c_void_p),
+        None,
+        None,
+        0,
+    )
+    if grand < 0:
+        raise RuntimeError(f"tt_assemble_batch phase1 failed: {grand}")
+    out_offs = np.zeros(n_segs, dtype=np.int64)
+    if n_segs:
+        np.cumsum(np.maximum(totals[:-1], 0), out=out_offs[1:])
+    out = np.empty(grand, dtype=np.int32)
+    w = lib.tt_assemble_batch(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        row_len.ctypes.data_as(ctypes.c_void_p),
+        rows.shape[1],
+        ur_ptr,
+        uid_buf.ctypes.data_as(ctypes.c_void_p),
+        seg_offs.ctypes.data_as(ctypes.c_void_p),
+        seg_counts.ctypes.data_as(ctypes.c_void_p),
+        n_segs,
+        nthreads,
+        totals.ctypes.data_as(ctypes.c_void_p),
+        out_offs.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        grand,
+    )
+    if w < 0:
+        raise RuntimeError(f"tt_assemble_batch phase2 failed: {w}")
+    return out, out_offs, totals
 
 
 def gather_rows(

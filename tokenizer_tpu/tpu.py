@@ -350,16 +350,35 @@ class TpuTokenizer(TikTokenizer):
             return np.empty(0, np.int32)
         return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
 
+    def _assemble_overflow_segment(
+        self, uid_buf, seg_offs, seg_counts, k: int
+    ) -> np.ndarray:
+        """Slow path for a segment referencing an oversized piece."""
+        o = int(seg_offs[k])
+        idx = self._uid_rows[uid_buf[o : o + int(seg_counts[k])]]
+        if idx.size == 0:
+            return np.empty(0, np.int32)
+        overflow, rows, row_len = self._overflow, self._rows, self._row_len
+        return np.concatenate(
+            [
+                overflow[r] if row_len[r] < 0 else rows[r, : row_len[r]]
+                for r in idx
+            ]
+        )
+
     def _encode_batch_native(
         self, texts: Sequence[str], allowed
     ) -> List[np.ndarray]:
-        """Batched native path: one buffer, parallel scan, one intern pass.
+        """Batched native path: one buffer, parallel scan, one intern
+        pass, one parallel assembly pass.
 
         All texts concatenate into a single byte buffer whose
         special-free segments go through ``tt_ctx_split_batch`` (pieces
         never cross segment/document boundaries, so per-segment scans
         are exact — SURVEY.md §5 multi-host determinism applies at doc
-        granularity too).
+        granularity too).  Token streams come back as disjoint views of
+        one flat buffer filled by ``tt_assemble_batch`` (uid->row->ids
+        resolved natively, parallel over segments).
         """
         native = self._native
         if self._split_ctx is None:
@@ -371,19 +390,27 @@ class TpuTokenizer(TikTokenizer):
         buf = b"".join(datas)
         seg_starts: List[int] = []
         seg_ends: List[int] = []
-        text_items: List[List[Tuple[str, int]]] = []
+        #: per text: segment index (single-segment fast path), -1
+        #: (empty), or an interleaved [("s", seg) | ("x", row)] list.
+        text_items: List = []
         off = 0
         for data in datas:
-            items: List[Tuple[str, int]] = []
             n = len(data)
+            self.stats.texts += 1
+            self.stats.bytes_in += n
+            if not allowed_b:
+                if n:
+                    text_items.append(len(seg_starts))
+                    seg_starts.append(off)
+                    seg_ends.append(off + n)
+                else:
+                    text_items.append(-1)
+                off += n
+                continue
+            items: List[Tuple[str, int]] = []
             start = 0
             while True:
-                if allowed_b:
-                    m, end = self._find_next_special_bytes(
-                        data, start, allowed_b
-                    )
-                else:
-                    m, end = None, n
+                m, end = self._find_next_special_bytes(data, start, allowed_b)
                 if end > start:
                     items.append(("s", len(seg_starts)))
                     seg_starts.append(off + start)
@@ -396,10 +423,13 @@ class TpuTokenizer(TikTokenizer):
                 start = m[0] + len(sb)
                 if start >= n:
                     break
-            text_items.append(items)
+            if len(items) == 1 and items[0][0] == "s":
+                text_items.append(items[0][1])
+            elif not items:
+                text_items.append(-1)
+            else:
+                text_items.append(items)
             off += n
-            self.stats.texts += 1
-            self.stats.bytes_in += n
 
         new_pieces: List[Tuple[int, bytes]] = []
         if seg_starts:
@@ -415,49 +445,42 @@ class TpuTokenizer(TikTokenizer):
             [pb for _, pb in new_pieces], [r for r, _ in new_pieces]
         )
 
-        uid_rows = self._uid_rows
-        per_text: List[np.ndarray] = []
-        for items in text_items:
-            if len(items) == 1 and items[0][0] == "s":
-                si = items[0][1]
-                o = int(seg_offs[si])
-                per_text.append(
-                    uid_rows[uid_buf[o : o + int(seg_counts[si])]]
-                )
-                continue
-            chunks: List[np.ndarray] = []
-            for kind, v in items:
-                if kind == "s":
-                    o = int(seg_offs[v])
-                    chunks.append(
-                        uid_rows[uid_buf[o : o + int(seg_counts[v])]]
-                    )
-                else:
-                    chunks.append(np.array([v], dtype=np.int32))
-            per_text.append(
-                np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+        if seg_starts:
+            seg_ids, id_offs, totals = native.assemble_batch(
+                self._rows,
+                self._row_len,
+                self._uid_rows,
+                uid_buf,
+                seg_offs,
+                seg_counts,
             )
 
-        rows, row_len = self._rows, self._row_len
+        def seg_slice(k: int) -> np.ndarray:
+            t = int(totals[k])
+            if t >= 0:
+                o = int(id_offs[k])
+                return seg_ids[o : o + t]
+            return self._assemble_overflow_segment(
+                uid_buf, seg_offs, seg_counts, k
+            )
+
         out: List[np.ndarray] = []
-        for idx in per_text:
-            if idx.size == 0:
-                out.append(np.empty(0, np.int32))
-                continue
-            total = native.sum_lens(row_len, idx)
-            if total < 0:
-                # Rare: text references an oversized (overflow) piece.
-                overflow = self._overflow
-                ids = np.concatenate(
-                    [
-                        overflow[r] if row_len[r] < 0 else rows[r, : row_len[r]]
-                        for r in idx
-                    ]
-                )
+        tokens_out = 0
+        for item in text_items:
+            if isinstance(item, int):
+                if item < 0:
+                    out.append(np.empty(0, np.int32))
+                    continue
+                ids = seg_slice(item)
             else:
-                ids = native.gather_rows(rows, row_len, idx, total)
-            self.stats.tokens_out += ids.size
+                chunks = [
+                    seg_slice(v) if kind == "s" else self._rows[v, :1]
+                    for kind, v in item
+                ]
+                ids = np.concatenate(chunks)
+            tokens_out += ids.size
             out.append(ids)
+        self.stats.tokens_out += tokens_out
         return out
 
     # -- bulk encode --------------------------------------------------------
