@@ -61,3 +61,35 @@ def test_gpt2_vocab_properties():
     assert (b2i >= 0).all()
     # Round-trip through decoder.
     assert vocab.decoder[vocab.encoder[b"hello"]] == b"hello"
+
+
+def test_p50k_derivation_offline():
+    """p50k_base materializes offline from the vendored gpt2 asset.
+
+    The derivation (gpt2 ranks + space runs of length 2..25 at ranks
+    50257..50280) is proven against the reference golden
+    tokens_p50k_base.json by test_conformance.py; this pins the table
+    shape so a regression is caught even without the golden corpus.
+    """
+    from tokenizer_tpu.vocab import load_encoding_ranks
+
+    ranks = load_encoding_ranks("p50k_base", allow_fetch=False)
+    assert len(ranks) == 50256 + 24
+    assert max(ranks.values()) == 50280
+    for i, n in enumerate(range(2, 26)):
+        assert ranks[b" " * n] == 50257 + i
+    # The base table is untouched gpt2.
+    gpt2 = load_encoding_ranks("gpt2", allow_fetch=False)
+    assert all(ranks[t] == r for t, r in gpt2.items())
+
+
+def test_vendored_gz_resolves_without_reference_mount(tmp_path, monkeypatch):
+    """The in-repo vocab/gpt2.tiktoken.gz is found and parses."""
+    from tokenizer_tpu import vocab as V
+
+    monkeypatch.setenv("TOKENIZER_TPU_CACHE_DIR", str(tmp_path))
+    p = V.resolve_vocab_file("gpt2", allow_fetch=False)
+    assert p.name == "gpt2.tiktoken.gz"
+    assert "reference" not in str(p)
+    ranks = V.load_tiktoken_file(p)
+    assert len(ranks) == 50256 and ranks[b" "] == 220

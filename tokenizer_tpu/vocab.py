@@ -83,12 +83,22 @@ def parse_tiktoken_data(data: bytes) -> Dict[bytes, int]:
 
 
 def load_tiktoken_file(path: os.PathLike) -> Dict[bytes, int]:
-    """Load a tiktoken rank file from disk (with a parsed .npz fast path)."""
+    """Load a tiktoken rank file from disk (with a parsed .npz fast path).
+
+    ``.gz`` files are decompressed transparently so vendored assets can be
+    committed compressed (the reference vendors model/gpt2.tiktoken raw,
+    835 KB; this repo vendors vocab/gpt2.tiktoken.gz, 366 KB).
+    """
     path = Path(path)
     cached = _load_npz_cache(path)
     if cached is not None:
         return cached
-    ranks = parse_tiktoken_data(path.read_bytes())
+    data = path.read_bytes()
+    if path.suffix == ".gz":
+        import gzip
+
+        data = gzip.decompress(data)
+    ranks = parse_tiktoken_data(data)
     _save_npz_cache(path, ranks)
     return ranks
 
@@ -181,9 +191,16 @@ def resolve_vocab_file(encoder_name: str, allow_fetch: bool = True) -> Path:
 
     for d in _vocab_search_dirs():
         for n in names:
-            p = Path(d) / n
-            if p.is_file():
-                return p
+            for cand in (n, n + ".gz"):
+                p = Path(d) / cand
+                if p.is_file():
+                    return p
+
+    # Encodings derivable from a vendored base (p50k_base from gpt2) are
+    # materialized into the cache dir instead of fetched.
+    derived = _materialize_derived(encoder_name)
+    if derived is not None:
+        return derived
 
     if not allow_fetch:
         raise FileNotFoundError(
@@ -192,6 +209,50 @@ def resolve_vocab_file(encoder_name: str, allow_fetch: bool = True) -> Path:
         )
     dest = default_cache_dir() / url_base
     _fetch(spec.vocab_url, dest)
+    return dest
+
+
+#: p50k_base = the gpt2/r50k rank table plus 24 run-of-spaces tokens
+#: (lengths 2..25 at ranks 50257..50280, ascending).  The derivation is
+#: validated byte-for-byte by the reference's committed golden id arrays
+#: (`Tokenizer_C#/TokenizerTest/testData/tokens_p50k_base.json`, 7,230 ids
+#: for lib.rs.txt — tests/test_conformance.py) — gpt2 has NO multi-space
+#: token, which is exactly the gap the code-model vocab filled.
+_SPACE_RUN_BASE_RANK = 50257
+_SPACE_RUN_LENGTHS = range(2, 26)
+
+_DERIVED_FROM_GPT2 = ("p50k_base", "p50k_edit")
+
+
+def _materialize_derived(encoder_name: str) -> Optional[Path]:
+    """Write a derivable encoding's rank file into the cache dir.
+
+    Returns the materialized path, or None if the encoding is not
+    derivable / its base asset is unavailable offline.
+    """
+    if encoder_name not in _DERIVED_FROM_GPT2:
+        return None
+    try:
+        base = resolve_vocab_file("gpt2", allow_fetch=False)
+    except FileNotFoundError:
+        return None
+    dest = default_cache_dir() / "p50k_base.tiktoken"
+    if not dest.is_file():
+        lines = []
+        for tok, rank in sorted(
+            load_tiktoken_file(base).items(), key=lambda kv: kv[1]
+        ):
+            lines.append(base64.b64encode(tok) + b" " + str(rank).encode())
+        for i, n in enumerate(_SPACE_RUN_LENGTHS):
+            lines.append(
+                base64.b64encode(b" " * n)
+                + b" "
+                + str(_SPACE_RUN_BASE_RANK + i).encode()
+            )
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        tmp = dest.with_suffix(".tmp")
+        tmp.write_bytes(b"\n".join(lines) + b"\n")
+        os.replace(tmp, dest)
     return dest
 
 
