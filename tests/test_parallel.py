@@ -92,3 +92,61 @@ def test_mesh_divisibility_check():
     assert local_batch_size(1024, mesh) == 128
     with pytest.raises(ValueError, match="not divisible"):
         local_batch_size(1001, mesh)
+
+
+# -- production encode path over the mesh (VERDICT.md round-1 item 1) ----
+
+
+@pytest.fixture(scope="module")
+def gpt2_specs():
+    from conftest import require_vocab
+
+    require_vocab("gpt2")
+    from tokenizer_tpu.models.registry import get_encoding_spec
+
+    spec = get_encoding_spec("gpt2")
+    v = Vocabulary.for_encoding("gpt2", allow_fetch=False)
+    return v, spec
+
+
+def test_encode_batch_shards_real_vocab(gpt2_specs, lib_rs_text):
+    """encode_batch routes merges through the 8-device mesh and matches
+    the host oracle byte-for-byte on the real gpt2 table."""
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.parallel import data_mesh
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    vocab, spec = gpt2_specs
+    mesh = data_mesh(8)
+    tok = TpuTokenizer(vocab, spec.special_tokens, spec.pattern, mesh=mesh)
+    host = TikTokenizer(vocab, spec.special_tokens, spec.pattern)
+
+    texts = [lib_rs_text[:4000], lib_rs_text[4000:9000], "⭐ étoile  123"]
+    got = tok.encode_batch(texts)
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t)
+    assert tok.mesh is mesh
+    assert tok.stats.device_pieces > 0
+    # Mesh-quantized tiles: every device batch is a multiple of 8*128.
+    assert tok._b_quantum == 8 * 128
+
+
+def test_encode_batch_auto_mesh_detection(gpt2_specs):
+    """mesh="auto" picks up the virtual multi-device environment."""
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    vocab, spec = gpt2_specs
+    tok = TpuTokenizer(vocab, spec.special_tokens, spec.pattern)
+    (ids,) = tok.encode_batch(["hello sharded world"])
+    assert tok.mesh is not None and tok.mesh.size == len(jax.devices())
+    assert ids.size > 0
+
+
+def test_encode_batch_mesh_none_single_device(gpt2_specs):
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    vocab, spec = gpt2_specs
+    tok = TpuTokenizer(vocab, spec.special_tokens, spec.pattern, mesh=None)
+    (ids,) = tok.encode_batch(["hello single device"])
+    assert tok.mesh is None
+    assert tok._b_quantum == 128

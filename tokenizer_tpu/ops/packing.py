@@ -64,12 +64,18 @@ def pack_pieces(
     buckets: Tuple[int, ...] = BUCKETS,
     lane: int = LANE,
     force_host: Optional[set] = None,
+    b_quantum: Optional[int] = None,
 ) -> PackPlan:
     """Pack unique piece byte-strings into per-bucket [L, B] tiles.
 
     ``force_host`` is the (normally empty) set of pieces that must take
     the host oracle — the pair-merge-unreachable vocab tokens from
     :meth:`PairTable.verify_merge_closure`.
+
+    ``b_quantum`` (default: ``lane``) is the smallest batch tier; B is
+    always ``b_quantum * 2**k``.  The sharded merge path passes
+    ``mesh_size * lane`` so every tile divides evenly into lane-aligned
+    per-device shards (SURVEY.md §2.3 DP row).
     """
     per_bucket: List[List[int]] = [[] for _ in buckets]
     route: List[tuple] = [None] * len(pieces)  # type: ignore[list-item]
@@ -110,11 +116,11 @@ def pack_pieces(
                 )
             )
             continue
-        # Pad B to a power-of-two tier (>= lane): the merge kernel is
-        # jit-compiled per (L, B) shape, so quantizing B bounds the
-        # number of compilations at ~log2(max batch) per bucket instead
-        # of one per distinct piece count.
-        B = lane
+        # Pad B to a power-of-two tier (>= b_quantum >= lane): the merge
+        # kernel is jit-compiled per (L, B) shape, so quantizing B bounds
+        # the number of compilations at ~log2(max batch) per bucket
+        # instead of one per distinct piece count.
+        B = b_quantum or lane
         while B < n_real:
             B *= 2
         ids = np.full((L, B), -1, dtype=np.int32)

@@ -74,7 +74,19 @@ class TpuTokenizer(TikTokenizer):
         special_tokens,
         pattern: str,
         cache_size: int = DEFAULT_CACHE_SIZE,
+        mesh="auto",
     ):
+        """``mesh`` selects the device layout for the merge kernel:
+
+        * ``"auto"`` (default) — shard over a 1-D ``("data",)`` mesh of
+          this process's local devices when more than one is visible,
+          else run the single-device jit.  Multi-host jobs thus shard
+          their own corpus shard over their own chips; bulk ids never
+          cross hosts (SURVEY.md §2.3).
+        * a ``jax.sharding.Mesh`` — use it as given (must be 1-D with a
+          ``"data"`` axis).
+        * ``None`` — force the single-device path.
+        """
         super().__init__(ranks_or_path, special_tokens, pattern, cache_size)
         self.table = self.vocab.pair_table()
         #: pieces that must take the host oracle for exact whole-piece
@@ -115,8 +127,13 @@ class TpuTokenizer(TikTokenizer):
         self._dec_blob: Optional[np.ndarray] = None
         self._dec_offs: Optional[np.ndarray] = None
         self.stats = TpuStats()
+        self._mesh_arg = mesh
+        #: resolved jax.sharding.Mesh (or None) once the device path has
+        #: been touched; exposed for tests/observability.
+        self.mesh = None
         self._merge_fn = None
         self._tab_dev = None
+        self._b_quantum: Optional[int] = None
 
     # -- row-matrix plumbing ------------------------------------------------
 
@@ -166,17 +183,49 @@ class TpuTokenizer(TikTokenizer):
 
     # -- device plumbing ----------------------------------------------------
 
+    def _ensure_device(self) -> int:
+        """Resolve mesh + merge fn; returns the batch quantum (columns).
+
+        Called before packing so tile widths divide evenly across the
+        mesh.  ``"auto"`` shards over this process's local devices when
+        more than one is visible (the production multi-chip path,
+        VERDICT.md round-1 item 1); a single device keeps the plain jit.
+        """
+        if self._merge_fn is not None:
+            return self._b_quantum
+        from .ops.merge_jax import device_table, jit_merge_fn
+        from .ops.packing import LANE
+        from .runtime.jaxenv import ensure_compile_cache
+
+        ensure_compile_cache()
+        mesh = self._mesh_arg
+        if mesh == "auto":
+            import jax
+
+            local = jax.local_devices()
+            if len(local) > 1:
+                from .parallel.mesh import data_mesh
+
+                mesh = data_mesh(devices=local)
+            else:
+                mesh = None
+        if mesh is not None and mesh.size > 1:
+            from .parallel.encode_step import make_sharded_merge_fn
+
+            self.mesh = mesh
+            sharded = make_sharded_merge_fn(self.table, mesh)
+            self._merge_fn = lambda tab, ids, lens: sharded(tab, ids, lens)[:2]
+            self._b_quantum = LANE * mesh.size
+        else:
+            self._merge_fn = jit_merge_fn(self.table)
+            self._b_quantum = LANE
+        self._tab_dev = device_table(self.table)
+        return self._b_quantum
+
     def _device_merge(self, ids: np.ndarray, lengths: np.ndarray):
         import jax.numpy as jnp
 
-        from .ops.merge_jax import device_table, jit_merge_fn
-
-        if self._merge_fn is None:
-            from .runtime.jaxenv import ensure_compile_cache
-
-            ensure_compile_cache()
-            self._merge_fn = jit_merge_fn(self.table)
-            self._tab_dev = device_table(self.table)
+        self._ensure_device()
         out_ids, out_n = self._merge_fn(
             self._tab_dev, jnp.asarray(ids), jnp.asarray(lengths)
         )
@@ -196,7 +245,10 @@ class TpuTokenizer(TikTokenizer):
         if not as_bytes:
             return
         self.stats.unique_pieces += len(as_bytes)
-        plan = pack_pieces(as_bytes, self.table.byte_to_id)
+        b_quantum = self._ensure_device()
+        plan = pack_pieces(
+            as_bytes, self.table.byte_to_id, b_quantum=b_quantum
+        )
         rows, row_len = self._rows, self._row_len
         bucket_out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
         for batch in plan.batches:
