@@ -1,22 +1,37 @@
 """Throughput benchmark — prints ONE JSON line for the driver.
 
-Measures end-to-end encode bytes/s of the TPU pipeline
-(TpuTokenizer.encode_batch: host regex pre-split + dedup, device packed
-merge) on a code-heavy corpus (the reference's conformance file
-lib.rs.txt, tiled), gpt2 vocab (the only rank file available offline —
-same kernel and pipeline as cl100k).
+Headline metric: COLD end-to-end encode bytes/s of the TPU pipeline
+(TpuTokenizer.encode_batch) on a procedurally DIVERSE corpus — every
+document carries fresh identifiers/numbers/unicode, so unique pieces
+keep arriving and the device merge kernel stays on the critical path
+for the whole timed region (fixing round-1's repeated-file corpus,
+where warm-up interned everything and the timed loop did zero device
+work — VERDICT.md Weak #1).
 
-Baseline: 20.27 MB/s single-thread encode throughput of the released
+Also measured (reported on stderr as a JSON detail record):
+  * steady-state e2e (second pass, dedup-cache-hot — the reference LRU
+    analogue of natural-language encoding);
+  * kernel-only device throughput per bucket (merge_packed_jax,
+    jax.block_until_ready-fenced, pieces/s and MB/s);
+  * weak-scaling curve of the sharded merge at 1/2/4/8 devices
+    (virtual CPU mesh in subprocesses when only one real chip is
+    visible — on shared host cores this validates the path and
+    measures overhead, not real speedup).
+
+Baseline: 20.27 MB/s single-thread encode of the released
 @microsoft/tiktokenizer (reference perf notebook cell 8, BASELINE.md).
-``vs_baseline`` is the speedup over that number.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
+
+import numpy as np
 
 BASELINE_MBS = 20.27
 
@@ -25,55 +40,264 @@ CORPUS_CANDIDATES = [
     Path("/root/reference/Tokenizer_C#/TokenizerTest/testData/lib.rs.txt"),
 ]
 
+_WORDS = (
+    "the of and to in is was he for it with as his on be at by had not are"
+    " but from or have an they which one you were all her she there would"
+    " their we him been has when who will no more if out so up said what"
+    " its about than into them can only other time new some could these"
+    " two may first then do any like my now over such our man me even most"
+    " made after also did many off before must well back through years"
+    " where much your way down should because each just those people how"
+    " too little state good very make world still see own men work long"
+    " here get both between life being under never day same another know"
+    " while last might us great old year come since against go came right"
+    " used take three".split()
+)
 
-def load_corpus(target_mb: float = 8.0):
+
+def _load_seed_text() -> str:
     for p in CORPUS_CANDIDATES:
         if p.is_file():
-            base = p.read_text(encoding="utf-8")
-            break
-    else:
-        base = ("def f(x):\n    return x + 1  # comment ⭐\n" * 400)
-    reps = max(1, int(target_mb * 1e6 / len(base.encode("utf-8"))))
-    return [base] * reps
+            return p.read_text(encoding="utf-8")
+    return "def f(x):\n    return x + 1  # comment ⭐\n" * 400
+
+
+def gen_corpus(target_mb: float, seed: int) -> list:
+    """Diverse documents: code with renamed identifiers, fresh numeric
+    literals, Zipf-ish natural text, and unicode runs.  Unique-piece
+    arrival stays roughly uniform across the corpus."""
+    rng = np.random.default_rng(seed)
+    base = _load_seed_text()
+    # Chunk the seed code file into ~8 KB windows.
+    chunks = [base[i : i + 8192] for i in range(0, len(base), 8192)]
+    docs = []
+    total = 0
+    target = int(target_mb * 1e6)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    k = 0
+    while total < target:
+        kind = k % 4
+        k += 1
+        if kind == 0:
+            # Code chunk with per-doc identifier renaming: splice a fresh
+            # suffix into every word boundary-ish position.
+            c = chunks[int(rng.integers(len(chunks)))]
+            suf = "_" + "".join(
+                alpha[i] for i in rng.integers(0, 26, size=6)
+            )
+            doc = c.replace("self", "slf" + suf).replace("fn ", "fn x" + suf)
+        elif kind == 1:
+            # Natural-ish text with occasional fresh rare words.
+            n = int(rng.integers(600, 1400))
+            idx = rng.zipf(1.3, size=n) % len(_WORDS)
+            words = [_WORDS[i] for i in idx]
+            for j in range(0, n, 37):
+                words[j] = "".join(
+                    alpha[i] for i in rng.integers(0, 26, size=int(rng.integers(5, 12)))
+                )
+            doc = " ".join(words)
+        elif kind == 2:
+            # Numeric/log-like lines: fresh digit runs every doc.
+            rows = [
+                f"[{int(rng.integers(1e9)):010d}] metric_{int(rng.integers(1e4))}"
+                f" = {rng.random():.9f} ({int(rng.integers(1e6))} us)"
+                for _ in range(int(rng.integers(40, 120)))
+            ]
+            doc = "\n".join(rows)
+        else:
+            # Unicode mix: CJK runs + accents + emoji-ish stars.
+            n = int(rng.integers(200, 600))
+            cps = rng.integers(0x4E00, 0x4E00 + 2000, size=n)
+            doc = (
+                "".join(chr(c) for c in cps)
+                + " étoile ⭐ " * int(rng.integers(1, 5))
+            )
+        docs.append(doc)
+        total += len(doc.encode("utf-8"))
+    return docs
+
+
+def _nbytes(docs) -> int:
+    return sum(len(d.encode("utf-8")) for d in docs)
+
+
+def e2e_bench(tok, docs, cycles: int = 3):
+    """(cold_seconds, steady_seconds_min, stats_delta) for one corpus."""
+    before = tok.stats.as_dict()
+    t0 = time.perf_counter()
+    out = tok.encode_batch(docs)
+    cold = time.perf_counter() - t0
+    delta = {
+        k: tok.stats.as_dict()[k] - before[k] for k in before
+    }
+    tokens = int(sum(len(ids) for ids in out))
+    steady = float("inf")
+    for _ in range(cycles):
+        t0 = time.perf_counter()
+        tok.encode_batch(docs)
+        steady = min(steady, time.perf_counter() - t0)
+    return cold, steady, delta, tokens
+
+
+def kernel_bench(tok, docs):
+    """Device-kernel-only throughput per bucket (block_until_ready)."""
+    import jax
+
+    from tokenizer_tpu.ops.packing import BUCKETS
+
+    tok._ensure_device()
+    table, merge_fn, tab = tok.table, tok._merge_fn, tok._tab_dev
+    # Realistic pieces: actual regex pieces of the corpus, bucketed.
+    pieces = set()
+    for d in docs[:200]:
+        pieces.update(p.encode("utf-8") for p in tok._re.findall(d))
+    by_bucket = {L: [] for L in BUCKETS}
+    prev = 1
+    for L in BUCKETS:
+        by_bucket[L] = [p for p in pieces if prev < len(p) <= L]
+        prev = L
+    results = {}
+    B = tok._b_quantum * max(1, 2048 // tok._b_quantum)
+    for L in BUCKETS:
+        pool = by_bucket[L]
+        if not pool:
+            continue
+        ids = np.full((L, B), -1, np.int32)
+        lengths = np.zeros(B, np.int32)
+        nb = 0
+        for c in range(B):
+            p = pool[c % len(pool)]
+            ids[: len(p), c] = table.byte_to_id[np.frombuffer(p, np.uint8)]
+            lengths[c] = len(p)
+            nb += len(p)
+        jax.block_until_ready(merge_fn(tab, ids, lengths))  # compile
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(merge_fn(tab, ids, lengths))
+            best = min(best, time.perf_counter() - t0)
+        results[f"L{L}"] = {
+            "pieces_per_s": round(B / best),
+            "MB_per_s": round(nb / best / 1e6, 2),
+            "batch": B,
+            "seconds": round(best, 5),
+        }
+    return results
+
+
+_SCALING_SNIPPET = r"""
+import time, json
+import numpy as np
+import jax
+from tokenizer_tpu.vocab import Vocabulary
+from tokenizer_tpu.ops.merge_jax import device_table
+from tokenizer_tpu.parallel import data_mesh, make_sharded_merge_fn
+
+n = len(jax.devices())
+vocab = Vocabulary.for_encoding("gpt2", allow_fetch=False)
+table = vocab.pair_table()
+mesh = data_mesh(n)
+fn = make_sharded_merge_fn(table, mesh)
+tab = device_table(table)
+rng = np.random.default_rng(0)
+L, per_dev = 64, 1024  # weak scaling: fixed work per device
+B = per_dev * n
+ids = np.full((L, B), -1, np.int32)
+lengths = np.zeros(B, np.int32)
+words = [b"hello", b" world", b"the quick brown", b" tokenizer", b"a" * 40, b" 1234567"]
+for c in range(B):
+    p = words[int(rng.integers(len(words)))]
+    ids[: len(p), c] = table.byte_to_id[np.frombuffer(p, np.uint8)]
+    lengths[c] = len(p)
+jax.block_until_ready(fn(tab, ids, lengths))
+best = float("inf")
+for _ in range(5):
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(tab, ids, lengths))
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({"n": n, "pieces_per_s": round(B / best)}))
+"""
+
+
+def scaling_bench():
+    """Weak-scaling of the sharded merge on a virtual CPU mesh."""
+    points = []
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n} "
+            + env.get("XLA_FLAGS", "")
+        ).strip()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _SCALING_SNIPPET],
+                capture_output=True,
+                text=True,
+                timeout=420,
+                env=env,
+                cwd=str(Path(__file__).parent),
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            points.append(json.loads(line))
+        except Exception as ex:  # keep the headline metric alive
+            points.append({"n": n, "error": str(ex)[:120]})
+    base = next(
+        (p["pieces_per_s"] for p in points if p.get("n") == 1 and "pieces_per_s" in p),
+        None,
+    )
+    for p in points:
+        if base and "pieces_per_s" in p:
+            p["efficiency"] = round(p["pieces_per_s"] / (p["n"] * base), 3)
+    return points
 
 
 def main():
-    docs = load_corpus()
-    nbytes = sum(len(d.encode("utf-8")) for d in docs)
+    fast = os.environ.get("BENCH_FAST") == "1"
+    target_mb = 4.0 if fast else 24.0
 
     from tokenizer_tpu import create_by_encoder_name
 
     tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
 
-    # Warm-up: compile all bucket shapes + populate dedup cache.
-    tok.encode_batch(docs[:1])
+    # Warm-up on a DIFFERENT seed: compiles every bucket shape without
+    # interning the measured corpus's pieces.
+    warm = gen_corpus(0.5, seed=123)
+    tok.encode_batch(warm)
 
-    # Best-of-N: the CI image's TPU-tunnel client contends for the two
-    # host cores unpredictably; the minimum is the honest capability
-    # number (standard timeit practice).
-    dt = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = tok.encode_batch(docs)
-        dt = min(dt, time.perf_counter() - t0)
+    docs = gen_corpus(target_mb, seed=7)
+    nbytes = _nbytes(docs)
+    cold_s, steady_s, delta, tokens = e2e_bench(
+        tok, docs, cycles=1 if fast else 3
+    )
+    cold = nbytes / cold_s / 1e6
+    steady = nbytes / steady_s / 1e6
 
-    tokens = sum(len(ids) for ids in out)
-    mbs = nbytes / dt / 1e6
+    kern = kernel_bench(tok, docs)
+    scaling = [] if fast else scaling_bench()
+
+    detail = {
+        "e2e_cold_MBps": round(cold, 2),
+        "e2e_steady_MBps": round(steady, 2),
+        "corpus_bytes": nbytes,
+        "corpus_docs": len(docs),
+        "tokens": tokens,
+        "timed_region_stats_delta": delta,
+        "kernel_only": kern,
+        "scaling_weak_cpu": scaling,
+        "stats_total": tok.stats.as_dict(),
+    }
     print(
         json.dumps(
             {
-                "metric": "encode_throughput_e2e_gpt2",
-                "value": round(mbs, 2),
+                "metric": "encode_throughput_e2e_cold_gpt2",
+                "value": round(cold, 2),
                 "unit": "MB/s",
-                "vs_baseline": round(mbs / BASELINE_MBS, 2),
+                "vs_baseline": round(cold / BASELINE_MBS, 2),
             }
         )
     )
-    print(
-        f"# {nbytes} bytes -> {tokens} tokens in {dt:.3f}s; "
-        f"stats={tok.stats.as_dict()}",
-        file=sys.stderr,
-    )
+    print("# detail " + json.dumps(detail), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -138,3 +138,39 @@ def test_bulk_decode_matches_host(tok):
     # Unknown ids are skipped identically.
     weird = ids + [987654, -3]
     assert tok.decode(weird) == host.decode(weird)
+
+def test_all_sum_multiprocess_contract(monkeypatch):
+    """Shape of the multi-process path: per-process vectors gather to
+    [P, K] and sum across P (exercised single-process via monkeypatch;
+    the real gather is jax.experimental.multihost_utils.process_allgather)."""
+    import jax
+    import numpy as np
+
+    import tokenizer_tpu.parallel.multihost as mh
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(
+        multihost_utils,
+        "process_allgather",
+        lambda arr: np.stack([arr, arr * 2, arr * 3]),
+    )
+    out = mh.all_sum([3.0, 5.0])
+    assert out.tolist() == [18.0, 30.0]
+
+
+def test_resume_rejects_mutated_corpus(tmp_path, tok):
+    """A corpus that changed between runs fails loudly on resume."""
+    import pytest
+
+    from tokenizer_tpu.runtime.pipeline import encode_corpus
+
+    docs = [f"document number {i} with words" for i in range(40)]
+    encode_corpus(docs, tok, tmp_path, chunk_bytes=200)
+    # Unchanged corpus resumes cleanly (no-op).
+    p = encode_corpus(docs, tok, tmp_path, chunk_bytes=200)
+    assert p.chunks_done > 1
+    # Mutate an early document -> loud failure.
+    docs[1] = "document number 1 MUTATED"
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        encode_corpus(docs, tok, tmp_path, chunk_bytes=200)

@@ -174,3 +174,118 @@ class TestCl100kTrims:
         )
         assert r.token_ids == [9906, 4435, 100265]
         assert r.text == "Hello World<|im_end|>"
+
+
+# -- C# trim-suffix mode: whole-piece drop (TikTokenizer.cs:289-342) -----
+# Ported shapes of TestEncodeTrimSuffix/TestEncodeTrimSuffix2
+# (TikTokenizerUnitTest.cs:128-176), run on gpt2 with the same custom
+# specials; the exact-cl100k variants run when that vocab is vendored.
+
+CS_SPECIALS = {"<|im_start|>": 100264, "<|im_end|>": 100265}
+
+
+@pytest.fixture(scope="module")
+def gpt2_cs_tokenizer():
+    from conftest import require_vocab
+
+    require_vocab("gpt2")
+    from tokenizer_tpu import create_by_encoder_name
+
+    return create_by_encoder_name(
+        "gpt2", extra_special_tokens=CS_SPECIALS, allow_fetch=False
+    )
+
+
+def test_cs_trim_suffix_whole_piece_drop(gpt2_cs_tokenizer):
+    """Budget 3 on specials + 'Hello' + 2-token ' TempWorld': the
+    overflowing piece is dropped whole (TestEncodeTrimSuffix2 shape)."""
+    tok = gpt2_cs_tokenizer
+    text = "<|im_start|>Hello TempWorld<|im_end|>"
+    r = tok.encode_trim_suffix(text, 3, allowed_special="all", mode="cs")
+    assert r.token_ids == [100264, 15496]  # im_start, Hello
+    assert r.text == "<|im_start|>Hello"
+    assert tok.decode(r.token_ids) == r.text
+    # TS mode slices mid-piece instead.
+    r_ts = tok.encode_trim_suffix(text, 3, allowed_special="all", mode="ts")
+    assert r_ts.token_ids == [100264, 15496, 24189]
+    assert r_ts.text == "<|im_start|>Hello TempWorld"
+
+
+def test_cs_trim_suffix_exact_and_over_budget(gpt2_cs_tokenizer):
+    tok = gpt2_cs_tokenizer
+    text = "<|im_start|>Hello TempWorld<|im_end|>"
+    # Budget 5 fits everything exactly (TestEncodeTrimSuffix2 budget 5).
+    r = tok.encode_trim_suffix(text, 5, allowed_special="all", mode="cs")
+    assert r.token_ids == [100264, 15496, 24189, 10603, 100265]
+    assert r.text == text
+    # Budget 6 > total: unchanged (budget 6 case).
+    r = tok.encode_trim_suffix(text, 6, allowed_special="all", mode="cs")
+    assert len(r.token_ids) == 5 and r.text == text
+
+
+def test_cs_trim_suffix_piece_boundary_invariant(gpt2_cs_tokenizer):
+    """cs-mode ids always end at a regex-piece boundary and the text
+    round-trips through decode."""
+    tok = gpt2_cs_tokenizer
+    text = "The quick brown fox jumps over the lazy dog; ⭐ 42 times!"
+    full = tok.encode(text)
+    for k in range(1, len(full) + 2):
+        r = tok.encode_trim_suffix(text, k, mode="cs")
+        # prefix of the full encode...
+        assert r.token_ids == full[: len(r.token_ids)]
+        assert len(r.token_ids) <= k
+        # ...and decodes exactly to the surviving text.
+        assert tok.decode(r.token_ids) == r.text
+        assert text.startswith(r.text)
+
+
+def test_cs_trim_suffix_special_budget_edge(gpt2_cs_tokenizer):
+    """Special token that exactly fills / overflows the budget
+    (TestEncodeTrimSuffix budgets 3/4/5 shape)."""
+    tok = gpt2_cs_tokenizer
+    text = "<|im_start|>Hello World<|im_end|>"
+    r = tok.encode_trim_suffix(text, 4, allowed_special="all", mode="cs")
+    assert r.token_ids == [100264, 15496, 2159, 100265]
+    assert r.text == text
+    r = tok.encode_trim_suffix(text, 5, allowed_special="all", mode="cs")
+    assert len(r.token_ids) == 4 and r.text == text
+    r = tok.encode_trim_suffix(text, 3, allowed_special="all", mode="cs")
+    assert r.token_ids == [100264, 15496, 2159]
+    assert r.text == "<|im_start|>Hello World"
+
+
+@pytest.mark.skipif(
+    not has_vocab("cl100k_base"), reason="cl100k rank file not vendored"
+)
+class TestCsTrimsCl100k:
+    """Exact ports of TikTokenizerUnitTest.cs:128-176 (cl100k_base)."""
+
+    @pytest.fixture(autouse=True)
+    def _tok(self):
+        from tokenizer_tpu import create_by_encoder_name
+
+        self.tok = create_by_encoder_name(
+            "cl100k_base", extra_special_tokens=CS_SPECIALS, allow_fetch=False
+        )
+
+    def test_encode_trim_suffix(self):
+        text = "<|im_start|>Hello World<|im_end|>"
+        r = self.tok.encode_trim_suffix(text, 4, allowed_special="all", mode="cs")
+        assert len(r.token_ids) == 4 and r.text == text
+        r = self.tok.encode_trim_suffix(text, 4, mode="cs")
+        assert len(r.token_ids) == 4 and r.text == "<|im_start"
+        r = self.tok.encode_trim_suffix(text, 5, allowed_special="all", mode="cs")
+        assert len(r.token_ids) == 4 and r.text == text
+        r = self.tok.encode_trim_suffix(text, 3, allowed_special="all", mode="cs")
+        assert len(r.token_ids) == 3 and r.text == "<|im_start|>Hello World"
+        assert self.tok.decode(r.token_ids) == "<|im_start|>Hello World"
+
+    def test_encode_trim_suffix_2(self):
+        text = "<|im_start|>Hello TempWorld<|im_end|>"
+        r = self.tok.encode_trim_suffix(text, 5, allowed_special="all", mode="cs")
+        assert len(r.token_ids) == 5 and r.text == text
+        r = self.tok.encode_trim_suffix(text, 6, allowed_special="all", mode="cs")
+        assert len(r.token_ids) == 5 and r.text == text
+        r = self.tok.encode_trim_suffix(text, 3, allowed_special="all", mode="cs")
+        assert len(r.token_ids) == 2 and r.text == "<|im_start|>Hello"
+        assert self.tok.decode(r.token_ids) == "<|im_start|>Hello"

@@ -209,14 +209,30 @@ class TikTokenizer:
         text: str,
         max_token_count: int,
         allowed_special: AllowedSpecial = None,
+        mode: str = "ts",
     ) -> TrimResult:
         """Encode limited to ``max_token_count`` ids by trimming the suffix.
 
-        TS semantics (encodeTrimSuffix, tikTokenizer.ts:300-361): a piece
-        that overflows the budget contributes a prefix SLICE of its ids
-        and ``text`` still includes the whole piece.  (The C# build drops
-        the overflowing piece entirely — TikTokenizer.cs:296-339.)
+        The two reference implementations diverge here, so both are
+        offered (SURVEY.md §3.3):
+
+        * ``mode="ts"`` (default, the newer library): a piece that
+          overflows the budget contributes a prefix SLICE of its ids and
+          ``text`` still includes the whole piece
+          (encodeTrimSuffix, tikTokenizer.ts:246-249,275-281).
+        * ``mode="cs"``: the overflowing piece is dropped WHOLE — neither
+          its ids nor its characters appear in the result
+          (TikTokenizer.cs:289-342 EncodeTrimSuffix piece loop: on
+          overflow it breaks without appending and without advancing
+          encodeLength).
         """
+        if mode not in ("ts", "cs"):
+            raise ValueError(f"mode must be 'ts' or 'cs', got {mode!r}")
+        segment = (
+            self._encode_trim_suffix_segment
+            if mode == "ts"
+            else self._encode_trim_suffix_segment_cs
+        )
         allowed = self._resolve_allowed(allowed_special)
         ids: List[int] = []
         start = 0
@@ -226,7 +242,7 @@ class TikTokenizer:
         while True:
             m, end = self._find_next_special(text, start, allowed)
             if end > start:
-                token_count, encode_length, full = self._encode_trim_suffix_segment(
+                token_count, encode_length, full = segment(
                     text, ids, start, end, max_token_count, token_count, encode_length
                 )
                 if token_count >= max_token_count:
@@ -299,6 +315,45 @@ class TikTokenizer:
                         encode_length += utf16_len(piece)
                         ids.extend(toks[:remaining])
                         return token_count, encode_length, False
+            if token_count >= max_token_count:
+                return token_count, encode_length, False
+        return token_count, encode_length, True
+
+    def _encode_trim_suffix_segment_cs(
+        self,
+        text: str,
+        ids: List[int],
+        start: int,
+        end: int,
+        max_token_count: int,
+        token_count: int,
+        encode_length: int,
+    ) -> Tuple[int, int, bool]:
+        """C# EncodeTrimSuffix piece loop (TikTokenizer.cs:289-342).
+
+        On overflow the whole piece is dropped: the count is advanced
+        past the budget (so the caller's ``>= max`` check breaks the
+        outer loop) but neither ids nor encode_length include the piece.
+        """
+        for m in self._re.finditer(text, start, end):
+            piece = m.group(0)
+            cached = self.cache.get(piece)
+            if cached is not None:
+                toks = cached
+            else:
+                bts = piece.encode("utf-8")
+                tid = self.encoder.get(bts)
+                if tid is not None:
+                    toks = [tid]
+                else:
+                    toks = byte_pair_encode(bts, self.encoder)
+                    self.cache.set(piece, toks)
+            token_count += len(toks)
+            if token_count <= max_token_count:
+                encode_length += utf16_len(piece)
+                ids.extend(toks)
+            else:
+                return token_count, encode_length, False
             if token_count >= max_token_count:
                 return token_count, encode_length, False
         return token_count, encode_length, True

@@ -27,6 +27,15 @@ __all__ = ["PackedBatch", "PackPlan", "pack_pieces", "BUCKETS", "LANE"]
 BUCKETS: Tuple[int, ...] = (16, 64, 128)
 #: Lane width — batch dims are padded to a multiple of this.
 LANE = 128
+#: Widest tile the packer emits.  Together with the power-of-two tiers
+#: this bounds the COMPILED SHAPE SET to ~log2(MAX_B/LANE)+1 widths per
+#: bucket — on the tunneled-TPU image every novel shape costs an XLA
+#: compile round trip (0.4-6 s measured), so an unbounded one-off
+#: [16, 65536] tile would dwarf its own 3 ms of compute.  Oversized
+#: unique-piece waves simply emit several MAX_B tiles, which also
+#: pipelines: the merge dispatches are async, so tile k+1's host fill
+#: overlaps tile k's device execution.
+MAX_B = 8192
 
 
 @dataclass
@@ -41,12 +50,15 @@ class PackedBatch:
 
 @dataclass
 class PackPlan:
-    """Routing of a unique-piece list into buckets / direct / host paths.
+    """Routing of a unique-piece list into tiles / direct / host paths.
 
     ``route[i]`` for unique piece i is one of:
       ('direct', token_id)            — length-1 piece
-      ('bucket', bucket_idx, column)  — packed into batches[bucket_idx]
+      ('bucket', batch_idx, column)   — packed into batches[batch_idx]
       ('host', host_idx)              — host-oracle fallback
+
+    A bucket may span several batches (tiles) when more than ``MAX_B``
+    pieces of its length class arrive at once.
     """
 
     batches: List[PackedBatch]
@@ -80,6 +92,9 @@ def pack_pieces(
     per_bucket: List[List[int]] = [[] for _ in buckets]
     route: List[tuple] = [None] * len(pieces)  # type: ignore[list-item]
     host_pieces: List[bytes] = []
+    batches: List[PackedBatch] = []
+    quantum = b_quantum or lane
+    max_b = max(MAX_B, quantum)
 
     for i, p in enumerate(pieces):
         n = len(p)
@@ -95,43 +110,48 @@ def pack_pieces(
             continue
         for bi, L in enumerate(buckets):
             if n <= L:
-                route[i] = ("bucket", bi, len(per_bucket[bi]))
                 per_bucket[bi].append(i)
                 break
         else:
             route[i] = ("host", len(host_pieces))
             host_pieces.append(p)
 
-    batches: List[PackedBatch] = []
     for bi, L in enumerate(buckets):
         idxs = per_bucket[bi]
-        n_real = len(idxs)
-        if n_real == 0:
+        # Chunk the bucket into tiles of at most max_b columns; the last
+        # (or only) tile pads B to a power-of-two tier >= quantum so the
+        # compiled shape set stays bounded.
+        for start in range(0, len(idxs), max_b):
+            chunk = idxs[start : start + max_b]
+            n_real = len(chunk)
+            B = quantum
+            while B < n_real:
+                B *= 2
+            batch_idx = len(batches)
             batches.append(
-                PackedBatch(
-                    l_max=L,
-                    ids=np.empty((L, 0), dtype=np.int32),
-                    lengths=np.empty((0,), dtype=np.int32),
-                    n_real=0,
-                )
+                _fill_tile(pieces, chunk, L, B, byte_to_id, route, batch_idx)
             )
-            continue
-        # Pad B to a power-of-two tier (>= b_quantum >= lane): the merge
-        # kernel is jit-compiled per (L, B) shape, so quantizing B bounds
-        # the number of compilations at ~log2(max batch) per bucket
-        # instead of one per distinct piece count.
-        B = b_quantum or lane
-        while B < n_real:
-            B *= 2
-        ids = np.full((L, B), -1, dtype=np.int32)
-        lengths = np.zeros((B,), dtype=np.int32)
-        for col, pi in enumerate(idxs):
-            p = pieces[pi]
-            arr = np.frombuffer(p, dtype=np.uint8)
-            ids[: len(p), col] = byte_to_id[arr]
-            lengths[col] = len(p)
-        batches.append(
-            PackedBatch(l_max=L, ids=ids, lengths=lengths, n_real=n_real)
-        )
 
     return PackPlan(batches=batches, route=route, host_pieces=host_pieces)
+
+
+def _fill_tile(
+    pieces, chunk, L, B, byte_to_id, route, batch_idx
+) -> PackedBatch:
+    """Vectorized fill of one [L, B] tile from the chunk's piece bytes."""
+    n_real = len(chunk)
+    sel = [pieces[pi] for pi in chunk]
+    blob = np.frombuffer(b"".join(sel), dtype=np.uint8)
+    lens = np.fromiter((len(p) for p in sel), dtype=np.int32, count=n_real)
+    offs = np.zeros(n_real, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    row = np.arange(L, dtype=np.int64)[:, None]
+    mask = row < lens[None, :]
+    flat = np.minimum(offs[None, :] + row, blob.size - 1)
+    ids = np.full((L, B), -1, dtype=np.int32)
+    ids[:, :n_real] = np.where(mask, byte_to_id[blob[flat]], -1)
+    lengths = np.zeros((B,), dtype=np.int32)
+    lengths[:n_real] = lens
+    for col, pi in enumerate(chunk):
+        route[pi] = ("bucket", batch_idx, col)
+    return PackedBatch(l_max=L, ids=ids, lengths=lengths, n_real=n_real)

@@ -57,6 +57,13 @@ class ShardProgress:
     bytes_in: int = 0
     tokens_out: int = 0
     seconds: float = 0.0
+    #: per-chunk corpus fingerprints (blake2b of the chunk's documents,
+    #: hex).  Resume recomputes each skipped chunk's digest and refuses
+    #: to continue on mismatch, so a corpus that changed between runs
+    #: fails loudly instead of silently producing misaligned output.
+    #: Rewinding ``chunks_done`` stays valid: only the skipped prefix is
+    #: checked, and re-run chunks overwrite their entry.
+    chunk_digests: List[str] = field(default_factory=list)
 
     @classmethod
     def load(cls, path: Path) -> Optional["ShardProgress"]:
@@ -69,6 +76,18 @@ class ShardProgress:
         tmp = path.with_suffix(".tmp")
         tmp.write_text(json.dumps(self.__dict__))
         os.replace(tmp, path)
+
+
+def _chunk_digest(batch: Sequence[str]) -> str:
+    """Order-sensitive digest of one chunk's documents (hex)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for doc in batch:
+        b = doc.encode("utf-8", "surrogatepass")
+        h.update(len(b).to_bytes(8, "little"))
+        h.update(b)
+    return h.hexdigest()
 
 
 def _chunks(
@@ -130,7 +149,20 @@ def encode_corpus(
 
     for ci, batch in enumerate(_chunks(docs, chunk_bytes, shard, n_shards)):
         if ci < progress.chunks_done:
-            continue  # resume: chunk already durable
+            # Resume: the chunk is already durable, but verify the doc
+            # stream is byte-identical to the run that produced it.
+            digest = _chunk_digest(batch)
+            if ci < len(progress.chunk_digests) and (
+                progress.chunk_digests[ci] != digest
+            ):
+                raise ValueError(
+                    f"corpus fingerprint mismatch on resume: chunk {ci} of "
+                    f"manifest {manifest_path} was written for a different "
+                    f"document stream (recorded "
+                    f"{progress.chunk_digests[ci]}, replayed {digest}); "
+                    f"refusing to continue"
+                )
+            continue
         t0 = time.perf_counter()
         ids_list = tokenizer.encode_batch(batch, allowed_special)
         if write_tokens:
@@ -152,5 +184,8 @@ def encode_corpus(
         )
         progress.tokens_out += int(sum(len(x) for x in ids_list))
         progress.chunks_done = ci + 1
+        digests = progress.chunk_digests
+        digests.extend([""] * (ci + 1 - len(digests)))
+        digests[ci] = _chunk_digest(batch)
         progress.save(manifest_path)
     return progress

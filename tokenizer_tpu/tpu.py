@@ -222,13 +222,17 @@ class TpuTokenizer(TikTokenizer):
         self._tab_dev = device_table(self.table)
         return self._b_quantum
 
-    def _device_merge(self, ids: np.ndarray, lengths: np.ndarray):
+    def _device_merge_async(self, ids: np.ndarray, lengths: np.ndarray):
+        """Dispatch one tile's merge; returns un-materialized jax arrays."""
         import jax.numpy as jnp
 
         self._ensure_device()
-        out_ids, out_n = self._merge_fn(
+        return self._merge_fn(
             self._tab_dev, jnp.asarray(ids), jnp.asarray(lengths)
         )
+
+    def _device_merge(self, ids: np.ndarray, lengths: np.ndarray):
+        out_ids, out_n = self._device_merge_async(ids, lengths)
         return np.asarray(out_ids), np.asarray(out_n)
 
     def _resolve_new_pieces(self, new_pieces: List[str]) -> None:
@@ -250,13 +254,17 @@ class TpuTokenizer(TikTokenizer):
             as_bytes, self.table.byte_to_id, b_quantum=b_quantum
         )
         rows, row_len = self._rows, self._row_len
-        bucket_out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
-        for batch in plan.batches:
-            if batch.n_real == 0:
-                bucket_out.append(None)
-                continue
-            out_ids, out_n = self._device_merge(batch.ids, batch.lengths)
-            bucket_out.append((out_ids.T, out_n))
+        # Dispatch EVERY tile before consuming any result: jax dispatch
+        # is async, so tile k+1's transfer/launch overlaps tile k's
+        # execution, and the host-side route loop below overlaps the
+        # tail (SURVEY.md §2.3 PP row, host<->device overlap).
+        pending = [
+            self._device_merge_async(batch.ids, batch.lengths)
+            for batch in plan.batches
+        ]
+        bucket_out: List[Tuple[np.ndarray, np.ndarray]] = []
+        for batch, (out_ids, out_n) in zip(plan.batches, pending):
+            bucket_out.append((np.asarray(out_ids).T, np.asarray(out_n)))
             self.stats.device_pieces += batch.n_real
         for pbytes, r, route in zip(as_bytes, row_ids, plan.route):
             kind = route[0]
