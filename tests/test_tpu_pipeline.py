@@ -150,3 +150,49 @@ def test_batch_trims_and_decode_consistency(pair):
     ids = tpu.encode_batch([text])[0]
     assert tpu.decode(ids) == text
     assert tpu.decode_batch([ids]) == [text]
+
+
+def test_encode_batch_stream_matches_encode_batch(pair, lib_rs_text):
+    """The pipelined stream is bit-identical to per-batch encode_batch,
+    including cross-batch dedup (a piece first seen in batch k reused in
+    batch k+1)."""
+    tok, _host = pair
+    batches = [
+        [lib_rs_text[:3000], "shared piece alpha beta"],
+        ["shared piece alpha beta", lib_rs_text[3000:7000]],
+        ["⭐ étoile 12345", lib_rs_text[:100]],
+    ]
+    got = list(tok.encode_batch_stream(iter(batches)))
+    want = [tok.encode_batch(b) for b in batches]
+    assert len(got) == len(want)
+    for g_batch, w_batch in zip(got, want):
+        for g, w in zip(g_batch, w_batch):
+            assert list(g) == list(w)
+
+
+def test_encode_batch_stream_empty(pair):
+    tok, _ = pair
+    assert list(tok.encode_batch_stream(iter([]))) == []
+
+
+def test_single_string_encode_native_scanner_parity(pair, lib_rs_text):
+    """TpuTokenizer.encode (native C++ scanner + host piece resolution)
+    is bit-identical to the host engine, including specials and
+    surrogate-free unicode."""
+    tpu, host = pair
+    cases = [
+        ("", None),
+        ("Hello World", None),
+        (lib_rs_text, None),
+        ("⭐ étoile  123  \t\n mixed   runs", None),
+        ("Hello<|endoftext|>World", ["<|endoftext|>"]),
+        ("<|endoftext|>" * 3, "all"),
+        ("a<|endoftext|>b", None),  # special NOT allowed -> plain text
+    ]
+    for text, allowed in cases:
+        assert tpu.encode(text, allowed) == host.encode(text, allowed), (
+            text[:40],
+            allowed,
+        )
+    # Cache warm path (second call hits the LRU).
+    assert tpu.encode(lib_rs_text) == host.encode(lib_rs_text)

@@ -119,8 +119,10 @@ class PairTable:
         right_a = np.asarray(rights, dtype=np.int32)
         merged_a = np.asarray(merged, dtype=np.int32)
 
-        # Load factor <= 0.5, minimum 1<<10 slots.
-        slot_bits = 10
+        # Load factor <= 0.5, minimum 1<<7 slots (128 = one TPU vreg of
+        # lanes, the largest table the Pallas kernel's vreg-local
+        # dynamic gather can address — see ops/merge_pallas.py).
+        slot_bits = 7
         while (1 << slot_bits) < 2 * max(len(left_a), 1):
             slot_bits += 1
 

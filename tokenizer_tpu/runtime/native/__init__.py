@@ -21,7 +21,6 @@ __all__ = [
     "available",
     "presplit",
     "split_dedup",
-    "gather_rows",
     "SplitContext",
     "PATTERN_IDS",
 ]
@@ -142,16 +141,6 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
-        lib.tt_gather_rows.restype = ctypes.c_int64
-        lib.tt_gather_rows.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-        ]
         lib.tt_ctx_split_batch.restype = ctypes.c_int64
         lib.tt_ctx_split_batch.argtypes = [
             ctypes.c_void_p,
@@ -167,12 +156,6 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.tt_sum_lens.restype = ctypes.c_int64
-        lib.tt_sum_lens.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_int64,
         ]
         lib.tt_gather_bytes.restype = ctypes.c_int64
         lib.tt_gather_bytes.argtypes = [
@@ -384,16 +367,6 @@ class SplitContext:
         return piece_uid, offsets, seg_np, news
 
 
-def sum_lens(row_len: np.ndarray, idx: np.ndarray) -> int:
-    """sum(row_len[idx]); -1 if any referenced row is an overflow row."""
-    lib = _load()
-    return lib.tt_sum_lens(
-        row_len.ctypes.data_as(ctypes.c_void_p),
-        idx.ctypes.data_as(ctypes.c_void_p),
-        len(idx),
-    )
-
-
 def gather_bytes(
     blob: np.ndarray,
     offsets: np.ndarray,
@@ -489,32 +462,3 @@ def assemble_batch(
     return out, out_offs, totals
 
 
-def gather_rows(
-    rows: np.ndarray,
-    row_len: np.ndarray,
-    idx: np.ndarray,
-    total: int,
-) -> Optional[np.ndarray]:
-    """Concatenate rows[idx[k], :row_len[idx[k]]] into one int32 array.
-
-    Returns None if any referenced row is an overflow row (row_len<0);
-    the caller then takes its slow path.
-    """
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native presplit unavailable")
-    out = np.empty(total, dtype=np.int32)
-    w = lib.tt_gather_rows(
-        rows.ctypes.data_as(ctypes.c_void_p),
-        row_len.ctypes.data_as(ctypes.c_void_p),
-        rows.shape[1],
-        idx.ctypes.data_as(ctypes.c_void_p),
-        len(idx),
-        out.ctypes.data_as(ctypes.c_void_p),
-        total,
-    )
-    if w == -2:
-        return None
-    if w < 0:
-        raise RuntimeError("tt_gather_rows overflow")
-    return out[:w]

@@ -147,24 +147,40 @@ def encode_corpus(
             f"{progress.shard}/{progress.n_shards}, not {shard}/{n_shards}"
         )
 
-    for ci, batch in enumerate(_chunks(docs, chunk_bytes, shard, n_shards)):
-        if ci < progress.chunks_done:
-            # Resume: the chunk is already durable, but verify the doc
-            # stream is byte-identical to the run that produced it.
-            digest = _chunk_digest(batch)
-            if ci < len(progress.chunk_digests) and (
-                progress.chunk_digests[ci] != digest
-            ):
-                raise ValueError(
-                    f"corpus fingerprint mismatch on resume: chunk {ci} of "
-                    f"manifest {manifest_path} was written for a different "
-                    f"document stream (recorded "
-                    f"{progress.chunk_digests[ci]}, replayed {digest}); "
-                    f"refusing to continue"
-                )
-            continue
-        t0 = time.perf_counter()
-        ids_list = tokenizer.encode_batch(batch, allowed_special)
+    pending: List[Tuple[int, List[str]]] = []
+
+    def _batches() -> Iterator[List[str]]:
+        for ci, batch in enumerate(_chunks(docs, chunk_bytes, shard, n_shards)):
+            if ci < progress.chunks_done:
+                # Resume: the chunk is already durable, but verify the
+                # doc stream is byte-identical to the producing run.
+                digest = _chunk_digest(batch)
+                if ci < len(progress.chunk_digests) and (
+                    progress.chunk_digests[ci] != digest
+                ):
+                    raise ValueError(
+                        f"corpus fingerprint mismatch on resume: chunk {ci} "
+                        f"of manifest {manifest_path} was written for a "
+                        f"different document stream (recorded "
+                        f"{progress.chunk_digests[ci]}, replayed {digest}); "
+                        f"refusing to continue"
+                    )
+                continue
+            pending.append((ci, batch))
+            yield batch
+
+    # Pipelined when the tokenizer supports it (TpuTokenizer): the host
+    # splits chunk k+1 while the device merges chunk k.
+    if hasattr(tokenizer, "encode_batch_stream"):
+        stream = tokenizer.encode_batch_stream(_batches(), allowed_special)
+    else:
+        stream = (
+            tokenizer.encode_batch(b, allowed_special) for b in _batches()
+        )
+
+    t0 = time.perf_counter()
+    for ids_list in stream:
+        ci, batch = pending.pop(0)
         if write_tokens:
             flat = (
                 np.concatenate(ids_list)
@@ -178,6 +194,7 @@ def encode_corpus(
             np.savez(tmp, ids=flat, offsets=offsets)
             os.replace(tmp, fname)
         progress.seconds += time.perf_counter() - t0
+        t0 = time.perf_counter()
         progress.docs += len(batch)
         progress.bytes_in += sum(
             len(d.encode("utf-8", "ignore")) for d in batch
