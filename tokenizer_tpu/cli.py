@@ -66,6 +66,55 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_corpus(args) -> int:
+    """Production bulk encode: chunked, resumable, shard-parallel.
+
+    Wraps :func:`tokenizer_tpu.runtime.pipeline.encode_corpus` — the
+    multi-host entry point (shard defaults to this process's slot in
+    the jax job; output order restored by stable (shard, chunk, doc)
+    indices).
+    """
+    import json
+
+    from .builder import create_by_model_name
+    from .parallel import multihost
+    from .runtime.pipeline import encode_corpus, iter_corpus_files
+
+    multihost.initialize()
+    tokenizer = create_by_model_name(args.model, use_tpu=not args.no_tpu)
+    progress = encode_corpus(
+        iter_corpus_files(args.paths),
+        tokenizer,
+        args.out,
+        chunk_bytes=args.chunk_bytes,
+        shard=args.shard,
+        n_shards=args.n_shards,
+        allowed_special="all" if args.allow_specials else None,
+        resume=not args.no_resume,
+    )
+    totals = multihost.all_sum(
+        [progress.docs, progress.bytes_in, progress.tokens_out]
+    )
+    report = {
+        "shard": progress.shard,
+        "n_shards": progress.n_shards,
+        "chunks_done": progress.chunks_done,
+        "shard_bytes_in": progress.bytes_in,
+        "shard_tokens_out": progress.tokens_out,
+        "shard_seconds": round(progress.seconds, 3),
+        "shard_MBps": round(
+            progress.bytes_in / progress.seconds / 1e6, 2
+        )
+        if progress.seconds
+        else None,
+        "global_docs": int(totals[0]),
+        "global_bytes_in": int(totals[1]),
+        "global_tokens_out": int(totals[2]),
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="tokenizer-tpu",
@@ -93,9 +142,23 @@ def main(argv=None) -> int:
     p_bench.add_argument("--tpu", action="store_true")
     p_bench.set_defaults(fn=_cmd_bench)
 
+    p_corpus = sub.add_parser(
+        "corpus", help="bulk-encode a corpus (chunked, resumable, sharded)"
+    )
+    p_corpus.add_argument("paths", nargs="+", help="files or directories")
+    p_corpus.add_argument("--out", required=True, help="output directory")
+    p_corpus.add_argument("--model", default="gpt2")
+    p_corpus.add_argument("--chunk-bytes", type=int, default=8 << 20)
+    p_corpus.add_argument("--shard", type=int, default=None)
+    p_corpus.add_argument("--n-shards", type=int, default=None)
+    p_corpus.add_argument("--allow-specials", action="store_true")
+    p_corpus.add_argument("--no-resume", action="store_true")
+    p_corpus.add_argument("--no-tpu", action="store_true")
+    p_corpus.set_defaults(fn=_cmd_corpus)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     # Bare "<model> <text>" without a subcommand, like Tokenizer.exe.
-    if argv and argv[0] not in {"tokenize", "encode-file", "bench", "-h", "--help"}:
+    if argv and argv[0] not in {"tokenize", "encode-file", "bench", "corpus", "-h", "--help"}:
         argv = ["tokenize", *argv]
     args = parser.parse_args(argv)
     if not hasattr(args, "fn"):
