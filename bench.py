@@ -121,20 +121,27 @@ def _nbytes(docs) -> int:
     return sum(len(d.encode("utf-8")) for d in docs)
 
 
-def e2e_bench(tok, docs, cycles: int = 3):
-    """(cold_seconds, steady_seconds_min, stats_delta) for one corpus."""
+def e2e_bench(tok, docs, cycles: int = 3, chunk_docs: int = 128):
+    """(cold_seconds, steady_seconds_min, stats_delta, tokens).
+
+    Cold runs the PRODUCTION shape: the pipelined chunk stream
+    (encode_batch_stream), so host split of chunk k+1 overlaps the
+    device merging chunk k, exactly like encode_corpus.  Steady re-runs
+    the same corpus with the dedup table hot (the reference-LRU
+    analogue of natural-language traffic).
+    """
+    chunks = [docs[i : i + chunk_docs] for i in range(0, len(docs), chunk_docs)]
     before = tok.stats.as_dict()
     t0 = time.perf_counter()
-    out = tok.encode_batch(docs)
+    out = [ids for batch in tok.encode_batch_stream(chunks) for ids in batch]
     cold = time.perf_counter() - t0
-    delta = {
-        k: tok.stats.as_dict()[k] - before[k] for k in before
-    }
+    delta = {k: tok.stats.as_dict()[k] - before[k] for k in before}
     tokens = int(sum(len(ids) for ids in out))
     steady = float("inf")
     for _ in range(cycles):
         t0 = time.perf_counter()
-        tok.encode_batch(docs)
+        for _batch in tok.encode_batch_stream(chunks):
+            pass
         steady = min(steady, time.perf_counter() - t0)
     return cold, steady, delta, tokens
 
@@ -157,6 +164,8 @@ def kernel_bench(tok, docs):
         by_bucket[L] = [p for p in pieces if prev < len(p) <= L]
         prev = L
     results = {}
+    import jax.numpy as jnp
+
     B = tok._b_quantum * max(1, 2048 // tok._b_quantum)
     for L in BUCKETS:
         pool = by_bucket[L]
@@ -170,11 +179,14 @@ def kernel_bench(tok, docs):
             ids[: len(p), c] = table.byte_to_id[np.frombuffer(p, np.uint8)]
             lengths[c] = len(p)
             nb += len(p)
-        jax.block_until_ready(merge_fn(tab, ids, lengths))  # compile
+        # Device-resident operands: this measures the KERNEL, not the
+        # tunnel transport (whose per-RPC latency the e2e numbers carry).
+        di, dl = jnp.asarray(ids), jnp.asarray(lengths)
+        jax.block_until_ready(merge_fn(tab, di, dl))  # compile
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(merge_fn(tab, ids, lengths))
+            jax.block_until_ready(merge_fn(tab, di, dl))
             best = min(best, time.perf_counter() - t0)
         results[f"L{L}"] = {
             "pieces_per_s": round(B / best),
@@ -185,10 +197,45 @@ def kernel_bench(tok, docs):
     return results
 
 
+def overlap_ab(docs, chunk_docs: int = 128):
+    """A/B: synchronous per-chunk encode_batch vs the pipelined stream.
+
+    Two fresh tokenizers (so both runs are equally cold) encode the
+    same chunked corpus; the pipelined run overlaps host split of chunk
+    k+1 with the device merging chunk k (VERDICT.md round-1 item 5).
+    """
+    from tokenizer_tpu import create_by_encoder_name
+
+    chunks = [docs[i : i + chunk_docs] for i in range(0, len(docs), chunk_docs)]
+    tok_a = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+    tok_a.encode_batch(gen_corpus(0.2, seed=321))  # compile warmup
+    t0 = time.perf_counter()
+    for c in chunks:
+        tok_a.encode_batch(c)
+    sync_s = time.perf_counter() - t0
+
+    tok_b = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+    tok_b.encode_batch(gen_corpus(0.2, seed=321))
+    t0 = time.perf_counter()
+    for _ in tok_b.encode_batch_stream(chunks):
+        pass
+    pipe_s = time.perf_counter() - t0
+    return {
+        "sync_s": round(sync_s, 3),
+        "pipelined_s": round(pipe_s, 3),
+        "speedup": round(sync_s / pipe_s, 3) if pipe_s else None,
+    }
+
+
 _SCALING_SNIPPET = r"""
-import time, json
+import os, time, json
 import numpy as np
 import jax
+# The CI image's sitecustomize pins jax_platforms to the axon TPU; make
+# the env var authoritative so this subprocess really runs on the
+# virtual CPU mesh (same dance as __graft_entry__._honor_platform_env).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 from tokenizer_tpu.vocab import Vocabulary
 from tokenizer_tpu.ops.merge_jax import device_table
 from tokenizer_tpu.parallel import data_mesh, make_sharded_merge_fn
@@ -253,6 +300,13 @@ def scaling_bench():
 
 
 def main():
+    # Make JAX_PLATFORMS authoritative (the CI image's sitecustomize
+    # pins the axon TPU otherwise) so the bench can also run on the
+    # virtual CPU mesh for plumbing checks.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     fast = os.environ.get("BENCH_FAST") == "1"
     target_mb = 4.0 if fast else 24.0
 
@@ -275,6 +329,7 @@ def main():
 
     kern = kernel_bench(tok, docs)
     scaling = [] if fast else scaling_bench()
+    overlap = overlap_ab(gen_corpus(2.0 if fast else 8.0, seed=99))
 
     detail = {
         "e2e_cold_MBps": round(cold, 2),
@@ -284,6 +339,7 @@ def main():
         "tokens": tokens,
         "timed_region_stats_delta": delta,
         "kernel_only": kern,
+        "overlap_ab": overlap,
         "scaling_weak_cpu": scaling,
         "stats_total": tok.stats.as_dict(),
     }

@@ -207,3 +207,39 @@ def test_segment_windows():
                 got.append(data[prev:e])
                 prev = int(e)
             assert got == py, (pid, a, b)
+
+
+def test_native_bpe_matches_python_oracle(gpt2_vocab):
+    """tt_bpe_encode (heap merge over the pair table) is bit-identical
+    to the reference python loop on random and pathological pieces."""
+    import numpy as np
+
+    from tokenizer_tpu.bpe import byte_pair_encode
+
+    table = gpt2_vocab.pair_table()
+    rng = np.random.default_rng(11)
+    cases = []
+    # random ascii / bytes / unicode of many lengths, incl. > 512
+    for n in (2, 3, 7, 17, 64, 129, 400, 513, 2000):
+        cases.append(bytes(rng.integers(97, 123, size=n).astype(np.uint8)))
+        cases.append(bytes(rng.integers(0, 256, size=n).astype(np.uint8)))
+    cases.append(("好" * 700).encode("utf-8"))   # CJK run
+    cases.append(b"1234567890" * 300)             # digit run
+    cases.append(b" " * 1000)                     # zero-merge run (gpt2)
+    cases.append(b"hello world, this is a perfectly normal sentence.")
+    for piece in cases:
+        want = byte_pair_encode(piece, gpt2_vocab.encoder)
+        got = native.bpe_encode(piece, table).tolist()
+        assert got == want, (piece[:24], len(piece))
+
+
+def test_native_bpe_tie_break_first_min(gpt2_vocab):
+    """Equal minimal ranks must merge at the FIRST index (strict-< scan,
+    BytePairEncoder.cs:48-54): repeated bigrams exercise the tie."""
+    from tokenizer_tpu.bpe import byte_pair_encode
+
+    table = gpt2_vocab.pair_table()
+    for piece in (b"ababababab", b"thethethethe", b"  a  a  a  a", b"aaaa"):
+        want = byte_pair_encode(piece, gpt2_vocab.encoder)
+        got = native.bpe_encode(piece, table).tolist()
+        assert got == want

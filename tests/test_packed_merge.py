@@ -143,7 +143,7 @@ def test_gpt2_conformance_pieces(
 
 def test_pack_pieces_routing(toy):
     vocab, table = toy
-    pieces = [b"", b"a", b"ab", b"x" * 16, b"y" * 17, b"z" * 128, b"w" * 129]
+    pieces = [b"", b"a", b"ab", b"x" * 16, b"y" * 17, b"z" * 128, b"w" * 513]
     plan = pack_pieces(pieces, table.byte_to_id)
     kinds = [r[0] for r in plan.route]
     assert kinds == [
@@ -159,7 +159,7 @@ def test_pack_pieces_routing(toy):
     assert plan.route[2][1] == 0 and plan.route[3][1] == 0
     assert plan.route[4][1] == 1
     assert plan.route[5][1] == 2
-    assert plan.host_pieces == [b"w" * 129]
+    assert plan.host_pieces == [b"w" * 513]
     b0 = plan.batches[0]
     assert b0.ids.shape == (16, 128) and b0.n_real == 2
     assert b0.lengths[0] == 2 and b0.lengths[1] == 16

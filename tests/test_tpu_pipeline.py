@@ -196,3 +196,22 @@ def test_single_string_encode_native_scanner_parity(pair, lib_rs_text):
         )
     # Cache warm path (second call hits the LRU).
     assert tpu.encode(lib_rs_text) == host.encode(lib_rs_text)
+
+
+def test_long_cjk_pieces_through_device_buckets(pair):
+    """Multi-hundred-byte no-whitespace pieces (CJK) route through the
+    wide device buckets (<=512B) and beyond that the native heap merge,
+    matching the host oracle exactly."""
+    tpu, host = pair
+    texts = [
+        "".join(chr(0x4E00 + (i * 7) % 2000) for i in range(150)),   # ~450B
+        "".join(chr(0x4E00 + (i * 13) % 2000) for i in range(400)),  # ~1.2KB
+        "word " + "好" * 300 + " tail",
+        "9" * 700,  # digit run (single piece under pattern 1)
+    ]
+    got = tpu.encode_batch(texts)
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t)
+    # decode round-trip
+    for g, t in zip(got, texts):
+        assert tpu.decode(g) == t

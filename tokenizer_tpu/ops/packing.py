@@ -23,8 +23,13 @@ import numpy as np
 
 __all__ = ["PackedBatch", "PackPlan", "pack_pieces", "BUCKETS", "LANE"]
 
-#: Piece-length buckets (sublane-aligned). Device path covers <= 128 bytes.
-BUCKETS: Tuple[int, ...] = (16, 64, 128)
+#: Piece-length buckets (sublane-aligned).  The device path covers
+#: pieces up to 512 bytes — no-whitespace scripts (Chinese/Japanese
+#: text under every pattern generation) produce multi-hundred-byte
+#: `\p{L}+` pieces as the NORM, so they belong on the chip; beyond 512
+#: the O(L) while-loop trip count stops paying and the native C++
+#: heap-merge fallback (runtime/native tt_bpe_encode) takes over.
+BUCKETS: Tuple[int, ...] = (16, 64, 128, 256, 512)
 #: Lane width — batch dims are padded to a multiple of this.
 LANE = 128
 #: Widest tile the packer emits.  Together with the power-of-two tiers

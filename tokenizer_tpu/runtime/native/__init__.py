@@ -21,6 +21,7 @@ __all__ = [
     "available",
     "presplit",
     "split_dedup",
+    "bpe_encode",
     "SplitContext",
     "PATTERN_IDS",
 ]
@@ -183,7 +184,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out (nullable)
             ctypes.c_int64,  # out_cap
         ]
-        if lib.tt_abi_version() != 2:
+        lib.tt_bpe_encode.restype = ctypes.c_int64
+        lib.tt_bpe_encode.argtypes = [
+            ctypes.c_char_p,  # piece
+            ctypes.c_int64,  # n
+            ctypes.c_void_p,  # byte_to_id
+            ctypes.c_void_p,  # key_left
+            ctypes.c_void_p,  # key_right
+            ctypes.c_void_p,  # values
+            ctypes.c_int32,  # slot_bits
+            ctypes.c_int32,  # max_probes
+            ctypes.c_void_p,  # out
+            ctypes.c_int64,  # out_cap
+        ]
+        if lib.tt_abi_version() != 3:
             return None
         _LIB = lib
         return _LIB
@@ -365,6 +379,36 @@ class SplitContext:
         ]
         offsets = seg_start - base
         return piece_uid, offsets, seg_np, news
+
+
+def bpe_encode(piece: bytes, table) -> np.ndarray:
+    """Exact tiktoken byte-pair merge of one piece via the pair table.
+
+    ``table`` is an :class:`~tokenizer_tpu.ops.pair_table.PairTable`;
+    output is bit-identical to :func:`tokenizer_tpu.bpe.byte_pair_encode`
+    (differentially tested) at O(n log n) — the host fallback for
+    pieces longer than the widest device bucket.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native bpe unavailable")
+    n = len(piece)
+    out = np.empty(max(n, 1), dtype=np.int32)
+    w = lib.tt_bpe_encode(
+        piece,
+        n,
+        table.byte_to_id.ctypes.data_as(ctypes.c_void_p),
+        table.key_left.ctypes.data_as(ctypes.c_void_p),
+        table.key_right.ctypes.data_as(ctypes.c_void_p),
+        table.values.ctypes.data_as(ctypes.c_void_p),
+        table.slot_bits,
+        table.max_probes,
+        out.ctypes.data_as(ctypes.c_void_p),
+        len(out),
+    )
+    if w < 0:
+        raise RuntimeError(f"tt_bpe_encode failed: {w}")
+    return out[:w]
 
 
 def gather_bytes(

@@ -42,8 +42,11 @@ from .utils.lru import DEFAULT_CACHE_SIZE
 
 __all__ = ["TpuTokenizer", "TpuStats"]
 
-#: Max token ids a packed piece can produce (== largest bucket's bytes).
-_MAX_OUT = BUCKETS[-1]
+#: Row width of the dedup id matrix.  Pieces producing more ids (rare:
+#: only low-merge pieces longer than this) spill to the overflow map —
+#: the row matrix must stay narrow because it scales with the number of
+#: unique pieces ever seen.
+_MAX_OUT = 128
 #: Initial row-matrix capacity (doubles on demand).
 _INIT_ROWS = 4096
 
@@ -157,10 +160,17 @@ class TpuTokenizer(TikTokenizer):
 
         The reference order of operations (TikTokenizer.cs:261-268):
         the encoder-dictionary hit precedes the merge loop, which is
-        exactly why unreachable-token pieces are routed here.
+        exactly why unreachable-token pieces are routed here.  Long
+        pieces use the native C++ heap merge (tt_bpe_encode, bit-exact
+        with the python loop at O(n log n) — the reference loop is
+        O(n^2), 20 ms/piece on a 2 KB CJK run).
         """
         tid = self.encoder.get(pbytes)
-        return [tid] if tid is not None else byte_pair_encode(pbytes, self.encoder)
+        if tid is not None:
+            return [tid]
+        if self._native is not None and len(pbytes) > 64:
+            return self._native.bpe_encode(pbytes, self.table).tolist()
+        return byte_pair_encode(pbytes, self.encoder)
 
     def _store_row(self, r: int, toks) -> None:
         """Store a resolved id list, spilling > _MAX_OUT to the overflow map."""
@@ -263,18 +273,48 @@ class TpuTokenizer(TikTokenizer):
             self._device_merge_async(batch.ids, batch.lengths)
             for batch in plan.batches
         ]
-        return as_bytes, row_ids, plan, pending
+        # Fuse the wave's outputs into ONE device array so finishing
+        # costs a single device->host transfer.  The tunneled-TPU
+        # transport charges ~24 ms per round trip once any transfer has
+        # happened (measured: first d2h flips the channel into a
+        # uniform ~24 ms/RPC mode), so per-wave RPC count — not bytes —
+        # is the cost driver.  Multi-device meshes skip fusion: eager
+        # concatenation of sharded tiles would force a resharding
+        # collective per wave.
+        fused = None
+        if self.mesh is None and len(pending) > 1:
+            import jax.numpy as jnp
+
+            fused = jnp.concatenate(
+                [o.ravel() for o, _ in pending]
+                + [n.ravel() for _, n in pending]
+            )
+        return as_bytes, row_ids, plan, pending, fused
 
     def _finish_new_piece_rows(self, handle) -> None:
         """Block on dispatched merges and write the resolved rows."""
         if handle is None:
             return
-        as_bytes, row_ids, plan, pending = handle
+        as_bytes, row_ids, plan, pending, fused = handle
         rows, row_len = self._rows, self._row_len
         bucket_out: List[Tuple[np.ndarray, np.ndarray]] = []
-        for batch, (out_ids, out_n) in zip(plan.batches, pending):
-            bucket_out.append((np.asarray(out_ids).T, np.asarray(out_n)))
-            self.stats.device_pieces += batch.n_real
+        if fused is not None:
+            buf = np.asarray(fused)  # the wave's single d2h
+            off = 0
+            ids_parts: List[np.ndarray] = []
+            for batch in plan.batches:
+                L, B = batch.ids.shape
+                ids_parts.append(buf[off : off + L * B].reshape(L, B))
+                off += L * B
+            for batch, arr in zip(plan.batches, ids_parts):
+                B = batch.ids.shape[1]
+                bucket_out.append((arr.T, buf[off : off + B]))
+                off += B
+                self.stats.device_pieces += batch.n_real
+        else:
+            for batch, (out_ids, out_n) in zip(plan.batches, pending):
+                bucket_out.append((np.asarray(out_ids).T, np.asarray(out_n)))
+                self.stats.device_pieces += batch.n_real
         for pbytes, r, route in zip(as_bytes, row_ids, plan.route):
             kind = route[0]
             if kind == "direct":
@@ -288,8 +328,13 @@ class TpuTokenizer(TikTokenizer):
                 _, bi, col = route
                 out_rows, out_n = bucket_out[bi]
                 k = int(out_n[col])
-                rows[r, :k] = out_rows[col, :k]
-                row_len[r] = k
+                if k <= _MAX_OUT:
+                    rows[r, :k] = out_rows[col, :k]
+                    row_len[r] = k
+                else:
+                    # Wide-bucket piece with few merges: spill.
+                    self._overflow[r] = out_rows[col, :k].copy()
+                    row_len[r] = -1
             else:  # host oracle fallback (oversized piece)
                 self._store_row(r, self._oracle_piece(pbytes))
                 self.stats.host_fallback_pieces += 1
