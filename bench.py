@@ -20,6 +20,15 @@ Also measured (reported on stderr as a JSON detail record):
 
 Baseline: 20.27 MB/s single-thread encode of the released
 @microsoft/tiktokenizer (reference perf notebook cell 8, BASELINE.md).
+
+Transport caveat (this CI image only): the tunneled TPU's FIRST
+device->host transfer in a process intermittently stalls for minutes
+and permanently flips the channel into a ~24 ms/round-trip mode
+(measured: exec 0.07 ms before any d2h; 24-25 ms after an 8 KB d2h,
+independent of size; gc/clear_caches/time do not recover it).  The
+pipeline fuses each merge wave's outputs into one device array so a
+wave costs ONE round trip; kernel-only numbers use device-resident
+operands so they measure the chip, not the tunnel.
 """
 
 from __future__ import annotations
