@@ -215,3 +215,19 @@ def test_long_cjk_pieces_through_device_buckets(pair):
     # decode round-trip
     for g, t in zip(got, texts):
         assert tpu.decode(g) == t
+
+
+def test_wave_cache_overflow_falls_back_per_tile(gpt2_vocab, lib_rs_text):
+    """When the wave-combo jit cache is full, dispatch falls back to
+    per-tile calls with identical results."""
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    tok._ensure_device()
+    tok._wave_fns = {("sentinel", i): None for i in range(16)}  # full
+    (ids,) = tok.encode_batch([lib_rs_text[:2000]])
+    host = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    (want,) = host.encode_batch([lib_rs_text[:2000]])
+    assert list(ids) == list(want)

@@ -183,6 +183,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out_offs (nullable)
             ctypes.c_void_p,  # out (nullable)
             ctypes.c_int64,  # out_cap
+            ctypes.c_void_p,  # ovf_pool (nullable)
         ]
         lib.tt_bpe_encode.restype = ctypes.c_int64
         lib.tt_bpe_encode.argtypes = [
@@ -197,7 +198,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_int64,  # out_cap
         ]
-        if lib.tt_abi_version() != 3:
+        if lib.tt_abi_version() != 4:
             return None
         _LIB = lib
         return _LIB
@@ -445,13 +446,15 @@ def assemble_batch(
     seg_offs: np.ndarray,
     seg_counts: np.ndarray,
     nthreads: int = 0,
+    ovf_pool: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-call parallel token-stream assembly for a whole batch.
 
     Returns ``(out, out_offs, totals)``: segment k's ids are
-    ``out[out_offs[k] : out_offs[k] + totals[k]]``; ``totals[k] == -1``
-    marks a segment referencing an overflow row (``row_len < 0``), which
-    the caller must assemble via its slow path.
+    ``out[out_offs[k] : out_offs[k] + totals[k]]``.  Overflow rows
+    (``row_len[r] == -(k+1)`` with the pool offset in ``rows[r, 0]``)
+    assemble natively when ``ovf_pool`` is given; without a pool,
+    ``totals[k] == -1`` marks such segments for the caller's slow path.
     """
     lib = _load()
     if lib is None:
@@ -464,6 +467,9 @@ def assemble_batch(
     totals = np.empty(n_segs, dtype=np.int64)
     ur_ptr = (
         uid_rows.ctypes.data_as(ctypes.c_void_p) if uid_rows is not None else None
+    )
+    pool_ptr = (
+        ovf_pool.ctypes.data_as(ctypes.c_void_p) if ovf_pool is not None else None
     )
     grand = lib.tt_assemble_batch(
         rows.ctypes.data_as(ctypes.c_void_p),
@@ -479,6 +485,7 @@ def assemble_batch(
         None,
         None,
         0,
+        pool_ptr,
     )
     if grand < 0:
         raise RuntimeError(f"tt_assemble_batch phase1 failed: {grand}")
@@ -500,6 +507,7 @@ def assemble_batch(
         out_offs.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
         grand,
+        pool_ptr,
     )
     if w < 0:
         raise RuntimeError(f"tt_assemble_batch phase2 failed: {w}")

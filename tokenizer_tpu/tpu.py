@@ -104,9 +104,13 @@ class TpuTokenizer(TikTokenizer):
         self._rows = np.zeros((_INIT_ROWS, _MAX_OUT), dtype=np.int32)
         self._row_len = np.zeros(_INIT_ROWS, dtype=np.int32)
         self._n_rows = 0
-        #: rows whose pieces produced > _MAX_OUT ids (oversized host-
-        #: fallback pieces); row_len == -1 marks them.
-        self._overflow: Dict[int, np.ndarray] = {}
+        #: flat side pool for rows whose pieces produced > _MAX_OUT ids
+        #: (long low-merge pieces): row_len[r] == -(k+1) encodes k ids
+        #: at _ovf_pool[rows[r, 0]:], a layout the native assembler
+        #: consumes directly (tt_assemble_batch ovf_pool param) so CJK-
+        #: heavy corpora never hit a per-segment python slow path.
+        self._ovf_pool = np.empty(4096, dtype=np.int32)
+        self._ovf_len = 0
 
         # Native (C++) split+dedup fast path: active when the library
         # builds and the pattern is one of the three known generations.
@@ -137,6 +141,8 @@ class TpuTokenizer(TikTokenizer):
         self._merge_fn = None
         self._tab_dev = None
         self._b_quantum: Optional[int] = None
+        #: wave-fused jit fns keyed by the wave's tile-shape combo.
+        self._wave_fns: Dict[tuple, object] = {}
 
     # -- row-matrix plumbing ------------------------------------------------
 
@@ -173,14 +179,38 @@ class TpuTokenizer(TikTokenizer):
         return byte_pair_encode(pbytes, self.encoder)
 
     def _store_row(self, r: int, toks) -> None:
-        """Store a resolved id list, spilling > _MAX_OUT to the overflow map."""
+        """Store a resolved id list, spilling > _MAX_OUT to the pool."""
         k = len(toks)
         if k <= _MAX_OUT:
             self._rows[r, :k] = toks
             self._row_len[r] = k
         else:
-            self._overflow[r] = np.asarray(toks, dtype=np.int32)
-            self._row_len[r] = -1
+            self._spill_overflow(r, toks)
+
+    def _spill_overflow(self, r: int, toks) -> None:
+        k = len(toks)
+        start = self._ovf_len
+        need = start + k
+        pool = self._ovf_pool
+        if need > len(pool):
+            cap = len(pool)
+            while cap < need:
+                cap *= 2
+            grown = np.empty(cap, dtype=np.int32)
+            grown[:start] = pool[:start]
+            self._ovf_pool = grown
+        self._ovf_pool[start:need] = toks
+        self._ovf_len = need
+        self._rows[r, 0] = start
+        self._row_len[r] = -(k + 1)
+
+    def _row_ids(self, r: int) -> np.ndarray:
+        """The id sequence of a resolved row (pool-aware)."""
+        m = int(self._row_len[r])
+        if m >= 0:
+            return self._rows[r, :m]
+        s = int(self._rows[r, 0])
+        return self._ovf_pool[s : s - m - 1]
 
     def _special_row(self, tid: int) -> int:
         r = self._special_rows.get(tid)
@@ -269,27 +299,90 @@ class TpuTokenizer(TikTokenizer):
         plan = pack_pieces(
             as_bytes, self.table.byte_to_id, b_quantum=b_quantum
         )
-        pending = [
-            self._device_merge_async(batch.ids, batch.lengths)
-            for batch in plan.batches
-        ]
-        # Fuse the wave's outputs into ONE device array so finishing
-        # costs a single device->host transfer.  The tunneled-TPU
-        # transport charges ~24 ms per round trip once any transfer has
-        # happened (measured: first d2h flips the channel into a
-        # uniform ~24 ms/RPC mode), so per-wave RPC count — not bytes —
-        # is the cost driver.  Multi-device meshes skip fusion: eager
-        # concatenation of sharded tiles would force a resharding
-        # collective per wave.
+        # RPC economy: the tunneled-TPU transport charges ~24 ms per
+        # round trip once any device->host transfer has happened
+        # (measured: the first d2h flips the channel into a uniform
+        # ~24 ms/RPC mode), so per-wave RPC COUNT — not bytes — is the
+        # cost driver.  Single-device path: pack every tile into ONE
+        # flat host buffer, run every bucket merge inside ONE jit, and
+        # return ONE fused output — 3 RPCs per wave (h2d, exec, d2h)
+        # regardless of tile count.  Multi-device meshes keep per-tile
+        # shard_map calls (fusing would force per-wave resharding
+        # collectives, and directly-attached pods don't have the
+        # transport quirk).
         fused = None
-        if self.mesh is None and len(pending) > 1:
+        pending = None
+        if self.mesh is None and plan.batches:
+            shapes = tuple(b.ids.shape for b in plan.batches)
+            wave_fn = self._wave_fn(shapes)
+            if wave_fn is not None:
+                flat = np.concatenate(
+                    [b.ids.ravel() for b in plan.batches]
+                    + [b.lengths for b in plan.batches]
+                )
+                fused = wave_fn(self._tab_dev, flat)
+        if fused is None:
+            pending = [
+                self._device_merge_async(batch.ids, batch.lengths)
+                for batch in plan.batches
+            ]
+            if self.mesh is None and len(pending) > 1:
+                import jax.numpy as jnp
+
+                fused = jnp.concatenate(
+                    [o.ravel() for o, _ in pending]
+                    + [n.ravel() for _, n in pending]
+                )
+        return as_bytes, row_ids, plan, pending, fused
+
+    def _wave_fn(self, shapes: tuple):
+        """Jitted all-buckets-in-one merge for a tile-shape combo.
+
+        Takes (tab, flat) where ``flat`` is the concatenation of every
+        tile's ids (row-major) followed by every tile's lengths, and
+        returns the same layout's outputs fused into one array.  The
+        combo cache is bounded: tile widths are power-of-two tiers so
+        real runs see a handful of combos, but a pathological stream
+        falls back to per-tile dispatch rather than compiling forever.
+        """
+        fn = self._wave_fns.get(shapes)
+        if fn is None:
+            if len(self._wave_fns) >= 16:
+                return None
+            import jax
             import jax.numpy as jnp
 
-            fused = jnp.concatenate(
-                [o.ravel() for o, _ in pending]
-                + [n.ravel() for _, n in pending]
-            )
-        return as_bytes, row_ids, plan, pending, fused
+            from .ops.merge_jax import merge_packed_jax
+
+            slot_bits = self.table.slot_bits
+            max_probes = self.table.max_probes
+
+            @jax.jit
+            def fn(tab, flat):
+                off = 0
+                tiles = []
+                for L, B in shapes:
+                    tiles.append(flat[off : off + L * B].reshape(L, B))
+                    off += L * B
+                lens = []
+                for _L, B in shapes:
+                    lens.append(flat[off : off + B])
+                    off += B
+                outs, ns = [], []
+                for ids, lengths in zip(tiles, lens):
+                    o, n = merge_packed_jax(
+                        tab,
+                        ids,
+                        lengths,
+                        slot_bits=slot_bits,
+                        max_probes=max_probes,
+                    )
+                    outs.append(o.ravel())
+                    ns.append(n)
+                return jnp.concatenate(outs + ns)
+
+            self._wave_fns[shapes] = fn
+        return fn
 
     def _finish_new_piece_rows(self, handle) -> None:
         """Block on dispatched merges and write the resolved rows."""
@@ -333,8 +426,7 @@ class TpuTokenizer(TikTokenizer):
                     row_len[r] = k
                 else:
                     # Wide-bucket piece with few merges: spill.
-                    self._overflow[r] = out_rows[col, :k].copy()
-                    row_len[r] = -1
+                    self._spill_overflow(r, out_rows[col, :k])
             else:  # host oracle fallback (oversized piece)
                 self._store_row(r, self._oracle_piece(pbytes))
                 self.stats.host_fallback_pieces += 1
@@ -475,18 +567,13 @@ class TpuTokenizer(TikTokenizer):
     def _assemble_overflow_segment(
         self, uid_buf, seg_offs, seg_counts, k: int
     ) -> np.ndarray:
-        """Slow path for a segment referencing an oversized piece."""
+        """Fallback for a segment the native assembler marked -1 (only
+        reachable when assemble_batch ran without the overflow pool)."""
         o = int(seg_offs[k])
         idx = self._uid_rows[uid_buf[o : o + int(seg_counts[k])]]
         if idx.size == 0:
             return np.empty(0, np.int32)
-        overflow, rows, row_len = self._overflow, self._rows, self._row_len
-        return np.concatenate(
-            [
-                overflow[r] if row_len[r] < 0 else rows[r, : row_len[r]]
-                for r in idx
-            ]
-        )
+        return np.concatenate([self._row_ids(r) for r in idx])
 
     def _native_split_phase(self, texts: Sequence[str], allowed):
         """Native split + interning of one batch; no device work.
@@ -578,6 +665,7 @@ class TpuTokenizer(TikTokenizer):
                 uid_buf,
                 seg_offs,
                 seg_counts,
+                ovf_pool=self._ovf_pool,
             )
 
         def seg_slice(k: int) -> np.ndarray:
@@ -654,13 +742,7 @@ class TpuTokenizer(TikTokenizer):
             lens = row_len[idx]
             if (lens < 0).any():
                 # Rare: text contains an oversized (overflow) piece.
-                overflow = self._overflow
-                ids = np.concatenate(
-                    [
-                        overflow[r] if row_len[r] < 0 else rows[r, : row_len[r]]
-                        for r in items
-                    ]
-                )
+                ids = np.concatenate([self._row_ids(r) for r in items])
             else:
                 ids = rows[idx][col[None, :] < lens[:, None]]
             self.stats.tokens_out += ids.size
