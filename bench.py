@@ -313,7 +313,7 @@ def scaling_bench():
     return points
 
 
-def main():
+def measure():
     # Make JAX_PLATFORMS authoritative (the CI image's sitecustomize
     # pins the axon TPU otherwise) so the bench can also run on the
     # virtual CPU mesh for plumbing checks.
@@ -322,28 +322,33 @@ def main():
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     fast = os.environ.get("BENCH_FAST") == "1"
-    target_mb = 4.0 if fast else 24.0
+    target_mb = 4.0 if fast else 12.0
 
     from tokenizer_tpu import create_by_encoder_name
 
     tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+    docs = gen_corpus(target_mb, seed=7)
+
+    # Kernel-only FIRST: block_until_ready does no device->host
+    # transfer, so these numbers measure the chip on a clean channel
+    # (any d2h flips the tunnel into its ~24 ms/RPC mode — see the
+    # transport caveat above — which would otherwise masquerade as
+    # kernel time).
+    kern = kernel_bench(tok, docs)
 
     # Warm-up on a DIFFERENT seed: compiles every bucket shape without
     # interning the measured corpus's pieces.
     warm = gen_corpus(0.5, seed=123)
     tok.encode_batch(warm)
 
-    docs = gen_corpus(target_mb, seed=7)
     nbytes = _nbytes(docs)
     cold_s, steady_s, delta, tokens = e2e_bench(
-        tok, docs, cycles=1 if fast else 3
+        tok, docs, cycles=1 if fast else 2
     )
     cold = nbytes / cold_s / 1e6
     steady = nbytes / steady_s / 1e6
-
-    kern = kernel_bench(tok, docs)
     scaling = [] if fast else scaling_bench()
-    overlap = overlap_ab(gen_corpus(2.0 if fast else 8.0, seed=99))
+    overlap = overlap_ab(gen_corpus(2.0 if fast else 4.0, seed=99))
 
     detail = {
         "e2e_cold_MBps": round(cold, 2),
@@ -370,5 +375,75 @@ def main():
     print("# detail " + json.dumps(detail), file=sys.stderr)
 
 
+def main():
+    """Watchdog orchestrator around :func:`measure`.
+
+    The tunneled TPU's first device->host transfer intermittently stalls
+    for many minutes (see the transport caveat above); a stalled run
+    would leave the driver with NO number at all.  So the measurement
+    runs in a subprocess under a budget, retried smaller, and finally on
+    the virtual-CPU platform — steady-state throughput is host-bound
+    (the dedup table answers repeated pieces without device work), so
+    the fallback stays an honest e2e number; the condition is flagged in
+    the detail record either way.
+    """
+    here = str(Path(__file__).resolve())
+
+    def attempt(budget, extra_env):
+        env = dict(os.environ)
+        env.update(extra_env)
+        try:
+            p = subprocess.run(
+                [sys.executable, here, "--measure"],
+                capture_output=True,
+                text=True,
+                timeout=budget,
+                env=env,
+                cwd=str(Path(here).parent),
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not lines:
+            return None
+        for l in p.stderr.splitlines():
+            if l.startswith("# detail"):
+                print(l, file=sys.stderr)
+        return lines[-1]
+
+    fast_env = {"BENCH_FAST": "1"}
+    plans = [
+        (420, {}),  # full, real chip
+        (240, fast_env),  # small, real chip
+        (240, {**fast_env, "JAX_PLATFORMS": "cpu"}),  # host-bound fallback
+    ]
+    if os.environ.get("BENCH_FAST") == "1":
+        plans = plans[1:]
+    for i, (budget, env) in enumerate(plans):
+        line = attempt(budget, env)
+        if line is not None:
+            if "JAX_PLATFORMS" in env:
+                rec = json.loads(line)
+                rec["note"] = "cpu-platform fallback: TPU tunnel d2h stall"
+                line = json.dumps(rec)
+            print(line)
+            return
+        print(f"# attempt {i} timed out (transport stall)", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "encode_throughput_e2e_gpt2",
+                "value": 0.0,
+                "unit": "MB/s",
+                "vs_baseline": 0.0,
+                "note": "all attempts stalled (tunnel transport)",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv:
+        measure()
+    else:
+        main()

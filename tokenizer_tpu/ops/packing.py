@@ -123,6 +123,12 @@ def pack_pieces(
 
     for bi, L in enumerate(buckets):
         idxs = per_bucket[bi]
+        # Sort by length so multi-tile buckets get length-homogeneous
+        # tiles: the merge loop's trip count is the tile's MAX merge
+        # count, so mixing short and long pieces stalls short columns
+        # on the longest one (round-1 VERDICT weak item 8).
+        if len(idxs) > max_b:
+            idxs.sort(key=lambda i: len(pieces[i]))
         # Chunk the bucket into tiles of at most max_b columns; the last
         # (or only) tile pads B to a power-of-two tier >= quantum so the
         # compiled shape set stays bounded.

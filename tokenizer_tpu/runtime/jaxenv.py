@@ -23,9 +23,13 @@ def ensure_compile_cache() -> None:
     _done = True
     import jax
 
+    # Partition by requested platform: AOT artifacts are machine/
+    # backend-specific, and a shared dir makes the CPU loader warn
+    # (or worse) on entries compiled elsewhere.
+    platform = (os.environ.get("JAX_PLATFORMS") or "default").split(",")[0]
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        str(Path.home() / ".cache" / "tokenizer_tpu" / "xla_cache"),
+        str(Path.home() / ".cache" / "tokenizer_tpu" / "xla_cache" / platform),
     )
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     try:
