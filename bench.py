@@ -295,7 +295,7 @@ def scaling_bench():
                 [sys.executable, "-c", _SCALING_SNIPPET],
                 capture_output=True,
                 text=True,
-                timeout=420,
+                timeout=120,
                 env=env,
                 cwd=str(Path(__file__).parent),
             )
@@ -322,7 +322,7 @@ def measure():
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     fast = os.environ.get("BENCH_FAST") == "1"
-    target_mb = 4.0 if fast else 12.0
+    target_mb = 4.0 if fast else 8.0
 
     from tokenizer_tpu import create_by_encoder_name
 
@@ -413,9 +413,9 @@ def main():
 
     fast_env = {"BENCH_FAST": "1"}
     plans = [
-        (420, {}),  # full, real chip
-        (240, fast_env),  # small, real chip
-        (240, {**fast_env, "JAX_PLATFORMS": "cpu"}),  # host-bound fallback
+        (360, {}),  # full, real chip
+        (180, fast_env),  # small, real chip
+        (180, {**fast_env, "JAX_PLATFORMS": "cpu"}),  # host-bound fallback
     ]
     if os.environ.get("BENCH_FAST") == "1":
         plans = plans[1:]
