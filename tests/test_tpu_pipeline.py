@@ -231,3 +231,24 @@ def test_wave_cache_overflow_falls_back_per_tile(gpt2_vocab, lib_rs_text):
     host = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
     (want,) = host.encode_batch([lib_rs_text[:2000]])
     assert list(ids) == list(want)
+
+
+def test_small_wave_host_router(gpt2_vocab):
+    """Single-device waves below the threshold resolve via the native
+    C++ merge (no device dispatch), bit-identical to the device path."""
+    import jax
+
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+    texts = ["a tiny batch with few unique pieces ⭐", "9" * 700]
+    got = tok.encode_batch(texts)
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t)
+    if tok._native is not None:
+        assert tok.stats.host_wave_pieces > 0
+        assert tok.stats.device_pieces == 0

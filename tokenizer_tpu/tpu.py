@@ -49,6 +49,14 @@ __all__ = ["TpuTokenizer", "TpuStats"]
 _MAX_OUT = 128
 #: Initial row-matrix capacity (doubles on demand).
 _INIT_ROWS = 4096
+#: Single-device waves with at most this many unique pieces resolve on
+#: the HOST via the native C++ merge instead of dispatching the device:
+#: a wave costs 3 transport round trips (~0.3 ms healthy, ~72 ms on the
+#: degraded tunnel) while C++ merges ~1e6 short pieces/s — the device
+#: only earns its dispatch cost on big unique-piece waves.  Zipf
+#: steady-state traffic (few new pieces per chunk) therefore never
+#: touches the device, exactly like the reference's warm LRU.
+_HOST_WAVE_MAX = 1024
 
 
 @dataclass
@@ -61,6 +69,10 @@ class TpuStats:
     unique_pieces: int = 0
     device_pieces: int = 0
     host_fallback_pieces: int = 0
+    #: unique pieces resolved by the small-wave host router (native C++
+    #: merge): below _HOST_WAVE_MAX uniques a device round trip costs
+    #: more than merging on the host.
+    host_wave_pieces: int = 0
     specials: int = 0
     tokens_out: int = 0
 
@@ -177,6 +189,15 @@ class TpuTokenizer(TikTokenizer):
         if self._native is not None and len(pbytes) > 64:
             return self._native.bpe_encode(pbytes, self.table).tolist()
         return byte_pair_encode(pbytes, self.encoder)
+
+    def _host_resolve_piece(self, pbytes: bytes):
+        """Whole-piece hit, then the native C++ merge (bit-exact)."""
+        tid = self.encoder.get(pbytes)
+        if tid is not None:
+            return [tid]
+        if not pbytes:
+            return []
+        return self._native.bpe_encode(pbytes, self.table)
 
     def _store_row(self, r: int, toks) -> None:
         """Store a resolved id list, spilling > _MAX_OUT to the pool."""
@@ -296,6 +317,16 @@ class TpuTokenizer(TikTokenizer):
             return None
         self.stats.unique_pieces += len(as_bytes)
         b_quantum = self._ensure_device()
+        if (
+            self.mesh is None
+            and self._native is not None
+            and len(as_bytes) <= _HOST_WAVE_MAX
+        ):
+            # Small wave: host C++ merge beats a device round trip.
+            for pbytes, r in zip(as_bytes, row_ids):
+                self._store_row(r, self._host_resolve_piece(pbytes))
+            self.stats.host_wave_pieces += len(as_bytes)
+            return None
         plan = pack_pieces(
             as_bytes, self.table.byte_to_id, b_quantum=b_quantum
         )
