@@ -73,7 +73,7 @@ def test_pallas_matches_numpy(toy, L, B):
     pieces = _random_pieces(B - 7, 2, L + 1, seed=L * B)
     ids, lengths = _pack(pieces, table, L, B)  # trailing cols stay empty
     tab = pallas_device_table(table, L)
-    fn = jit_pallas_merge_fn(table, L)
+    fn = jit_pallas_merge_fn(table)
     out_ids, out_n = fn(tab, ids, lengths, interpret=True)
     out_ids, out_n = np.asarray(out_ids), np.asarray(out_n)
 
@@ -96,7 +96,7 @@ def test_pallas_block_convergence_independent(toy):
     L, B = 16, 384  # 3 blocks
     pieces = [b""] * 128 + [b"ab"] * 128 + [b"  hello 1234cdef"] * 128
     ids, lengths = _pack(pieces, table, L, B)
-    fn = jit_pallas_merge_fn(table, L)
+    fn = jit_pallas_merge_fn(table)
     tab = pallas_device_table(table, L)
     out_ids, out_n = fn(tab, ids, lengths, interpret=True)
     ref_ids, ref_n = merge_packed_numpy(ids, lengths, table)
@@ -125,7 +125,7 @@ def test_pallas_table_shape_check(toy):
     )
 
     _, table = toy
-    fn = jit_pallas_merge_fn(table, 16)
+    fn = jit_pallas_merge_fn(table)
     ids = np.full((16, 256), -1, np.int32)
     lengths = np.zeros(256, np.int32)
     with pytest.raises(ValueError, match="!="):

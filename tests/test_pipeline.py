@@ -174,3 +174,32 @@ def test_resume_rejects_mutated_corpus(tmp_path, tok):
     docs[1] = "document number 1 MUTATED"
     with pytest.raises(ValueError, match="fingerprint mismatch"):
         encode_corpus(docs, tok, tmp_path, chunk_bytes=200)
+
+
+def test_corpus_no_bulk_tokenizer_fallback(tmp_path):
+    """encode_corpus works with the plain host engine (corpus --no-tpu)."""
+    from tokenizer_tpu import create_by_encoder_name
+    from tokenizer_tpu.runtime.pipeline import encode_corpus
+
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    docs = [f"plain host document {i}" for i in range(10)]
+    p = encode_corpus(docs, host, tmp_path, chunk_bytes=100)
+    assert p.tokens_out > 0 and p.chunks_done >= 1
+
+
+def test_resume_tolerates_legacy_manifest_without_digests(tmp_path, tok):
+    """A manifest predating the digest sidecar resumes cleanly and does
+    not poison later resumes with empty-string digests."""
+    import json
+
+    from tokenizer_tpu.runtime.pipeline import encode_corpus
+
+    docs = [f"legacy doc {i} words" for i in range(30)]
+    encode_corpus(docs, tok, tmp_path, chunk_bytes=150)
+    m = tmp_path / "manifest_shard00000.json"
+    # Simulate a legacy layout: drop the sidecar entirely.
+    (tmp_path / "manifest_shard00000.digests").unlink()
+    p1 = encode_corpus(docs, tok, tmp_path, chunk_bytes=150)  # resume ok
+    p2 = encode_corpus(docs, tok, tmp_path, chunk_bytes=150)  # and again
+    assert p1.chunks_done == p2.chunks_done
+    assert json.loads(m.read_text())["chunks_done"] == p2.chunks_done

@@ -259,8 +259,12 @@ def merge_packed_pallas(
     return out_ids, out_n[0]
 
 
-def jit_pallas_merge_fn(table: PairTable, l_max: int):
-    """Bind a vreg-sized table; returns fn(tab_stack, ids, lengths)."""
+def jit_pallas_merge_fn(table: PairTable):
+    """Bind a vreg-sized table; returns fn(tab_stack, ids, lengths).
+
+    ``tab_stack`` comes from :func:`pallas_device_table`; the call
+    validates its shape against the tile's L at dispatch time.
+    """
     return partial(
         merge_packed_pallas,
         slot_bits=table.slot_bits,

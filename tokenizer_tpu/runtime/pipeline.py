@@ -62,20 +62,54 @@ class ShardProgress:
     #: to continue on mismatch, so a corpus that changed between runs
     #: fails loudly instead of silently producing misaligned output.
     #: Rewinding ``chunks_done`` stays valid: only the skipped prefix is
-    #: checked, and re-run chunks overwrite their entry.
+    #: checked, and re-run chunks overwrite their entry.  Persisted as
+    #: an APPEND-ONLY sidecar ("<idx> <digest>" lines) next to the
+    #: manifest, NOT in the manifest JSON — rewriting a growing list
+    #: every chunk would make total manifest I/O quadratic in chunk
+    #: count (a 1 TB shard is ~125k chunks).
     chunk_digests: List[str] = field(default_factory=list)
+
+    @staticmethod
+    def digest_path(manifest_path: Path) -> Path:
+        return manifest_path.with_suffix(".digests")
 
     @classmethod
     def load(cls, path: Path) -> Optional["ShardProgress"]:
         try:
-            return cls(**json.loads(path.read_text()))
-        except (OSError, ValueError, TypeError):
+            state = json.loads(path.read_text())
+        except (OSError, ValueError):
             return None
+        digests = state.pop("chunk_digests", [])  # legacy manifests
+        try:
+            prog = cls(**state)
+        except TypeError:
+            return None
+        prog.chunk_digests = list(digests)
+        try:
+            for line in cls.digest_path(path).read_text().splitlines():
+                idx, _, d = line.partition(" ")
+                i = int(idx)
+                prog.chunk_digests.extend(
+                    [""] * (i + 1 - len(prog.chunk_digests))
+                )
+                prog.chunk_digests[i] = d
+        except (OSError, ValueError):
+            pass
+        return prog
 
     def save(self, path: Path) -> None:
+        state = dict(self.__dict__)
+        state.pop("chunk_digests")
         tmp = path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(self.__dict__))
+        tmp.write_text(json.dumps(state))
         os.replace(tmp, path)
+
+    def append_digest(self, path: Path, ci: int, digest: str) -> None:
+        """Record chunk ci's digest (in memory + sidecar append)."""
+        self.chunk_digests.extend([""] * (ci + 1 - len(self.chunk_digests)))
+        self.chunk_digests[ci] = digest
+        with open(self.digest_path(path), "a") as f:
+            f.write(f"{ci} {digest}\n")
 
 
 def _chunk_digest(batch: Sequence[str]) -> str:
@@ -141,41 +175,68 @@ def encode_corpus(
         (ShardProgress.load(manifest_path) if resume else None)
         or ShardProgress(shard=shard, n_shards=n_shards)
     )
+    if not resume:
+        ShardProgress.digest_path(manifest_path).unlink(missing_ok=True)
     if progress.n_shards != n_shards or progress.shard != shard:
         raise ValueError(
             f"manifest {manifest_path} was written for shard "
             f"{progress.shard}/{progress.n_shards}, not {shard}/{n_shards}"
         )
 
+    # Eagerly skip + verify the already-done prefix so resume
+    # verification (re-reading and hashing potentially GBs of skipped
+    # documents) never lands in the timed region of the first new chunk.
+    chunk_iter = enumerate(_chunks(docs, chunk_bytes, shard, n_shards))
+    first_new: Optional[Tuple[int, List[str]]] = None
+    for ci, batch in chunk_iter:
+        if ci >= progress.chunks_done:
+            first_new = (ci, batch)
+            break
+        # The chunk is already durable, but verify the doc stream is
+        # byte-identical to the producing run.  Empty entries (manifests
+        # predating the digest sidecar, or gaps after a rewind) carry no
+        # information and are skipped, never treated as a mismatch.
+        digest = _chunk_digest(batch)
+        recorded = (
+            progress.chunk_digests[ci]
+            if ci < len(progress.chunk_digests)
+            else ""
+        )
+        if recorded and recorded != digest:
+            raise ValueError(
+                f"corpus fingerprint mismatch on resume: chunk {ci} "
+                f"of manifest {manifest_path} was written for a "
+                f"different document stream (recorded {recorded}, "
+                f"replayed {digest}); refusing to continue"
+            )
+
     pending: List[Tuple[int, List[str]]] = []
 
     def _batches() -> Iterator[List[str]]:
-        for ci, batch in enumerate(_chunks(docs, chunk_bytes, shard, n_shards)):
-            if ci < progress.chunks_done:
-                # Resume: the chunk is already durable, but verify the
-                # doc stream is byte-identical to the producing run.
-                digest = _chunk_digest(batch)
-                if ci < len(progress.chunk_digests) and (
-                    progress.chunk_digests[ci] != digest
-                ):
-                    raise ValueError(
-                        f"corpus fingerprint mismatch on resume: chunk {ci} "
-                        f"of manifest {manifest_path} was written for a "
-                        f"different document stream (recorded "
-                        f"{progress.chunk_digests[ci]}, replayed {digest}); "
-                        f"refusing to continue"
-                    )
-                continue
+        if first_new is not None:
+            pending.append(first_new)
+            yield first_new[1]
+        for ci, batch in chunk_iter:
             pending.append((ci, batch))
             yield batch
 
     # Pipelined when the tokenizer supports it (TpuTokenizer): the host
-    # splits chunk k+1 while the device merges chunk k.
+    # splits chunk k+1 while the device merges chunk k.  Tokenizers
+    # without bulk APIs (the host engine, e.g. `corpus --no-tpu`) fall
+    # back to per-document encode.
     if hasattr(tokenizer, "encode_batch_stream"):
         stream = tokenizer.encode_batch_stream(_batches(), allowed_special)
-    else:
+    elif hasattr(tokenizer, "encode_batch"):
         stream = (
             tokenizer.encode_batch(b, allowed_special) for b in _batches()
+        )
+    else:
+        stream = (
+            [
+                np.asarray(tokenizer.encode(t, allowed_special), dtype=np.int32)
+                for t in b
+            ]
+            for b in _batches()
         )
 
     t0 = time.perf_counter()
@@ -201,8 +262,6 @@ def encode_corpus(
         )
         progress.tokens_out += int(sum(len(x) for x in ids_list))
         progress.chunks_done = ci + 1
-        digests = progress.chunk_digests
-        digests.extend([""] * (ci + 1 - len(digests)))
-        digests[ci] = _chunk_digest(batch)
+        progress.append_digest(manifest_path, ci, _chunk_digest(batch))
         progress.save(manifest_path)
     return progress

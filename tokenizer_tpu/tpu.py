@@ -37,7 +37,7 @@ from .models.registry import (
     REGEX_PATTERN_2,
     REGEX_PATTERN_3,
 )
-from .ops.packing import BUCKETS, pack_pieces
+from .ops.packing import pack_pieces
 from .utils.lru import DEFAULT_CACHE_SIZE
 
 __all__ = ["TpuTokenizer", "TpuStats"]
