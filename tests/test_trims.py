@@ -289,3 +289,40 @@ class TestCsTrimsCl100k:
         r = self.tok.encode_trim_suffix(text, 3, allowed_special="all", mode="cs")
         assert len(r.token_ids) == 2 and r.text == "<|im_start|>Hello"
         assert self.tok.decode(r.token_ids) == "<|im_start|>Hello"
+
+
+def test_trim_fuzz_invariants(gpt2_tokenizer):
+    """Randomized texts x budgets: structural invariants of all trim
+    modes against the full encode (tikTokenizer.ts:225-291,370-468;
+    TikTokenizer.cs:289-342,437-583)."""
+    import random
+
+    rng = random.Random(1234)
+    atoms = [
+        "hello", " world", "⭐", " étoile", "123", "9" * 40, "\n",
+        "  ", "<|endoftext|>", "tokenizer", " the quick", "好好好好",
+        "'re", "'LL", "x" * 30, "\t",
+    ]
+    tok = gpt2_tokenizer
+    for _ in range(40):
+        text = "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12)))
+        allowed = rng.choice([None, ["<|endoftext|>"], "all"])
+        full = tok.encode(text, allowed)
+        for k in (0, 1, 2, 3, 5, 8, len(full), len(full) + 3):
+            ts = tok.encode_trim_suffix(text, k, allowed, mode="ts")
+            # TS: exact prefix slice of the full encode.
+            assert ts.token_ids == full[: min(k, len(full))], (text, k)
+            cs = tok.encode_trim_suffix(text, k, allowed, mode="cs")
+            # C#: prefix of full, at most k, ends on a piece boundary
+            # (=> decodes exactly to the surviving text).
+            assert cs.token_ids == full[: len(cs.token_ids)]
+            assert len(cs.token_ids) <= k
+            assert tok.decode(cs.token_ids) == cs.text or (
+                # specials decode back to their literal text too
+                cs.text == tok.decode(cs.token_ids)
+            )
+            tp = tok.encode_trim_prefix(text, k, allowed)
+            # prefix-trim: a suffix of the full encode, at most k ids.
+            assert len(tp.token_ids) <= max(k, 0)
+            if tp.token_ids:
+                assert tp.token_ids == full[-len(tp.token_ids):], (text, k)
