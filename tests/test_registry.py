@@ -96,3 +96,11 @@ def test_every_encoding_has_spec():
         assert spec.pattern
         assert spec.vocab_url.startswith("https://")
         assert "<|endoftext|>" in spec.special_tokens
+
+
+def test_model_to_encoding_exported_like_ts():
+    """index.ts exports MODEL_TO_ENCODING (tokenizer_ts/src/index.ts:2-4)."""
+    import tokenizer_tpu as tt
+
+    assert tt.MODEL_TO_ENCODING["gpt-4"] == "cl100k_base"
+    assert tt.MODEL_TO_ENCODING["gpt2"] == "gpt2"

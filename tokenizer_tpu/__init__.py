@@ -20,6 +20,7 @@ from .builder import (
 )
 from .engine import ALL_SPECIAL_TOKENS, TikTokenizer, TrimResult
 from .models.registry import (
+    MODEL_TO_ENCODING,
     REGEX_PATTERN_1,
     REGEX_PATTERN_2,
     REGEX_PATTERN_3,
@@ -43,6 +44,7 @@ __all__ = [
     "create_by_encoder_name",
     "create_tokenizer",
     "encoding_name_for_model",
+    "MODEL_TO_ENCODING",
     "get_regex_by_encoder",
     "get_regex_by_model",
     "get_special_tokens_by_encoder",
