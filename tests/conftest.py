@@ -36,9 +36,12 @@ if not os.environ.get("TOKENIZER_TPU_TEST_TPU"):
 REPO = Path(__file__).resolve().parent.parent
 REFERENCE = Path("/root/reference")
 
-# Golden test data lives in the reference checkout when mounted; tests
-# that need it skip when absent so the suite runs on a bare clone too.
+# Golden conformance data is vendored in-repo (tests/testdata — the
+# conformance corpus and committed id arrays, the same shared constants
+# the reference commits in its test trees), with the reference checkout
+# as a secondary source when mounted.
 TESTDATA_DIRS = [
+    REPO / "tests" / "testdata",
     REFERENCE / "tokenizer_ts" / "test" / "testdata",
     REFERENCE / "Tokenizer_C#" / "TokenizerTest" / "testData",
 ]
