@@ -276,6 +276,9 @@ class SplitContext:
     in this call.  Not thread-safe.
     """
 
+    #: generations a returned uid buffer stays valid (see split_batch).
+    _RING = 4
+
     def __init__(self, pattern_id: int):
         lib = _load()
         if lib is None:
@@ -284,6 +287,31 @@ class SplitContext:
         self._ctx = lib.tt_ctx_new(pattern_id)
         if not self._ctx:
             raise RuntimeError("tt_ctx_new failed")
+        # Grow-only scratch: fresh multi-MB np.empty per call costs more
+        # in page faults than the scan itself on large batches.  The uid
+        # ring keeps the last _RING results alive so the pipelined
+        # stream (depth 2) can still hold batch k while k+1 splits.
+        self._uid_ring: list = [None] * self._RING
+        self._uid_ring_i = 0
+        self._news_scratch = None
+
+    def _uid_buffer(self, cap: int) -> np.ndarray:
+        i = self._uid_ring_i
+        self._uid_ring_i = (i + 1) % self._RING
+        buf = self._uid_ring[i]
+        if buf is None or len(buf) < cap:
+            buf = np.empty(max(cap, 1 << 16), dtype=np.int32)
+            self._uid_ring[i] = buf
+        return buf
+
+    def _news_buffers(self, cap: int):
+        tr = self._news_scratch
+        if tr is None or len(tr[0]) < cap:
+            tr = tuple(
+                np.empty(max(cap, 1 << 16), dtype=np.int32) for _ in range(3)
+            )
+            self._news_scratch = tr
+        return tr
 
     def __del__(self):
         ctx = getattr(self, "_ctx", None)
@@ -339,6 +367,11 @@ class SplitContext:
         Returns (piece_uid_buffer, seg_offsets, seg_counts, news):
         segment k's uids are ``buffer[seg_offsets[k] :
         seg_offsets[k] + seg_counts[k]]``.
+
+        OWNERSHIP: the returned uid buffer belongs to this context and
+        is recycled after ``_RING`` further ``split_batch`` calls — copy
+        it to retain it longer.  (The production pipeline holds at most
+        two generations in flight.)
         """
         if nthreads <= 0:
             nthreads = min(os.cpu_count() or 1, 16)
@@ -351,11 +384,9 @@ class SplitContext:
         seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
         base = int(seg_start[0])
         cap = max(int(seg_end[-1]) - base, 1)
-        piece_uid = np.empty(cap, dtype=np.int32)
+        piece_uid = self._uid_buffer(cap)
         seg_np = np.empty(n_segs, dtype=np.int64)
-        new_uid = np.empty(cap, dtype=np.int32)
-        new_start = np.empty(cap, dtype=np.int32)
-        new_end = np.empty(cap, dtype=np.int32)
+        new_uid, new_start, new_end = self._news_buffers(cap)
         n_new = ctypes.c_int64(0)
         rc = self._lib.tt_ctx_split_batch(
             self._ctx,
