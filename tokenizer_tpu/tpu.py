@@ -542,9 +542,12 @@ class TpuTokenizer(TikTokenizer):
     def _register_new_uids(self, news, new_pieces: List[bytes]) -> None:
         """Assign rows to first-seen uids; route force-host pieces."""
         force_host = self._force_host_bytes
-        if news and news[-1][0] >= len(self._uid_rows):
+        # news concatenates per-THREAD lists from the parallel batch
+        # scan, so it is not globally uid-sorted — grow to the true max.
+        mx = max(u for u, _ in news) if news else -1
+        if news and mx >= len(self._uid_rows):
             cap = len(self._uid_rows)
-            while cap <= news[-1][0]:
+            while cap <= mx:
                 cap *= 2
             grown = np.empty(cap, dtype=np.int32)
             grown[: len(self._uid_rows)] = self._uid_rows
