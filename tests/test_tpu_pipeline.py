@@ -252,3 +252,32 @@ def test_small_wave_host_router(gpt2_vocab):
     if tok._native is not None:
         assert tok.stats.host_wave_pieces > 0
         assert tok.stats.device_pieces == 0
+
+
+def test_register_new_uids_unsorted_news(pair):
+    """uid->row growth must use the MAX new uid, not the last one.
+
+    tt_ctx_split_batch concatenates per-thread news lists, so the last
+    element need not carry the largest uid; growing from news[-1] used
+    to IndexError exactly when a batch crossed the map's power-of-two
+    boundary with an out-of-order tail (regression for the fix in
+    _register_new_uids).
+    """
+    from tokenizer_tpu import create_by_encoder_name
+
+    tpu = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+    cap = len(tpu._uid_rows)
+    # Seed uids [0, cap-2) so the next two interns straddle the boundary.
+    base = [f" w{j}x" for j in range(cap - 2)]
+    tpu.encode_batch(["".join(base)])
+    assert len(tpu._uid_rows) == cap
+    # Hand the registrar an unsorted news batch crossing the boundary:
+    # max uid first, smaller uid last (the threaded-scan ordering).
+    n = tpu._split_ctx.n_pieces
+    news = [(n + 1, b" zz1x"), (n, b" zz0x")]
+    new_pieces = []
+    tpu._register_new_uids(news, new_pieces)
+    assert len(tpu._uid_rows) >= n + 2
+    assert {r for r, _ in new_pieces} == {
+        tpu._uid_rows[n], tpu._uid_rows[n + 1]
+    }
