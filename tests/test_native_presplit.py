@@ -174,21 +174,46 @@ def test_random_codepoint_fuzz(pid):
         _check("".join(chars), pid)
 
 
-def test_split_dedup_consistency(lib_rs_text):
+def test_split_context_dedup_consistency(lib_rs_text):
+    """The production interning context (SplitContext) deduplicates
+    exactly: every piece's uid maps back to its own bytes, uids are
+    stable across calls, and distinct pieces get distinct uids."""
     data = lib_rs_text.encode("utf-8")
     for pid in (1, 2, 3):
         ends = native.presplit(data, pid)
-        uidx, ustart, uend = native.split_dedup(data, pid)
-        assert len(uidx) == len(ends)
+        ctx = native.SplitContext(pid)
+        uids, news = ctx.split(data)
+        assert len(uids) == len(ends)
+        by_uid = dict(news)
+        # Every news uid is fresh and its bytes round-trip.
+        assert len(by_uid) == len(news) == ctx.n_pieces
         # Reconstruct each piece through the unique table.
         prev = 0
         for k, e in enumerate(ends):
-            u = uidx[k]
-            assert data[ustart[u] : uend[u]] == data[prev:e]
+            assert by_uid[int(uids[k])] == data[prev:e]
             prev = int(e)
         # Unique pieces really are unique.
-        uniqs = {data[a:b] for a, b in zip(ustart, uend)}
-        assert len(uniqs) == len(ustart)
+        assert len(set(by_uid.values())) == len(by_uid)
+        # A second pass interns nothing new and returns identical uids.
+        uids2, news2 = ctx.split(data)
+        assert not news2
+        assert (uids2 == uids).all()
+
+
+def test_split_batch_uid_generation_guard(lib_rs_text):
+    """A uid buffer older than the ring depth must fail loudly."""
+    import numpy as np
+
+    data = lib_rs_text.encode("utf-8")[:4096]
+    ctx = native.SplitContext(1)
+    seg = (np.array([0], np.int64), np.array([len(data)], np.int64))
+    ctx.split_batch(data, *seg)
+    gen = ctx.generation
+    ctx.check_uid_generation(gen)  # fresh: fine
+    for _ in range(ctx._RING):
+        ctx.split_batch(data, *seg)
+    with pytest.raises(RuntimeError, match="recycled"):
+        ctx.check_uid_generation(gen)
 
 
 def test_segment_windows():

@@ -7,11 +7,11 @@ The packer buckets unique pieces by byte length into column-major
 vectorizes the merge loop across pieces, and the sublane dimension L
 stays a multiple of 8 (int32 tile = 8x128).
 
-Bucket L in {16, 64, 128}; pieces longer than 128 bytes (pathological
-p50k digit runs / no-whitespace runs, SURVEY.md §7 'oversized-piece
-tail') are routed to the host oracle and counted, never silently
-truncated.  Length-1 pieces skip the kernel entirely (their id is
-``byte_to_id[b]``).
+Bucket L in ``BUCKETS`` (16..512); pieces longer than the widest
+bucket (pathological p50k digit runs / no-whitespace runs, SURVEY.md §7
+'oversized-piece tail') are routed to the host oracle and counted,
+never silently truncated.  Length-1 pieces skip the kernel entirely
+(their id is ``byte_to_id[b]``).
 """
 
 from __future__ import annotations

@@ -20,7 +20,6 @@ import numpy as np
 __all__ = [
     "available",
     "presplit",
-    "split_dedup",
     "bpe_encode",
     "SplitContext",
     "PATTERN_IDS",
@@ -109,19 +108,6 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
-        lib.tt_split_dedup.restype = ctypes.c_int64
-        lib.tt_split_dedup.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
         lib.tt_ctx_new.restype = ctypes.c_void_p
         lib.tt_ctx_new.argtypes = [ctypes.c_int]
         lib.tt_ctx_free.restype = None
@@ -198,7 +184,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_int64,  # out_cap
         ]
-        if lib.tt_abi_version() != 4:
+        if lib.tt_abi_version() != 5:
             return None
         _LIB = lib
         return _LIB
@@ -232,42 +218,6 @@ def presplit(
     return out[:n]
 
 
-def split_dedup(
-    data: bytes, pattern_id: int, start: int = 0, end: Optional[int] = None
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One-pass split + dedup of buf[start:end).
-
-    Returns (piece_uidx int32[n_pieces], uniq_start int32[n_unique],
-    uniq_end int32[n_unique]); unique ranges index into ``data``.
-    """
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native presplit unavailable")
-    if end is None:
-        end = len(data)
-    cap = max(end - start, 1)
-    piece_uidx = np.empty(cap, dtype=np.int32)
-    uniq_start = np.empty(cap, dtype=np.int32)
-    uniq_end = np.empty(cap, dtype=np.int32)
-    n_unique = ctypes.c_int64(0)
-    n = lib.tt_split_dedup(
-        data,
-        start,
-        end,
-        pattern_id,
-        piece_uidx.ctypes.data_as(ctypes.c_void_p),
-        cap,
-        uniq_start.ctypes.data_as(ctypes.c_void_p),
-        uniq_end.ctypes.data_as(ctypes.c_void_p),
-        cap,
-        ctypes.byref(n_unique),
-    )
-    if n < 0:
-        raise RuntimeError(f"tt_split_dedup failed: {n}")
-    u = n_unique.value
-    return piece_uidx[:n], uniq_start[:u].copy(), uniq_end[:u].copy()
-
-
 class SplitContext:
     """Persistent native split + interning context (one per tokenizer).
 
@@ -294,6 +244,21 @@ class SplitContext:
         self._uid_ring: list = [None] * self._RING
         self._uid_ring_i = 0
         self._news_scratch = None
+        #: monotonically increasing per split_batch call; the buffer
+        #: handed out at generation g is recycled at g + _RING, so
+        #: consumers assert currency via check_uid_generation.
+        self.generation = 0
+
+    def check_uid_generation(self, gen: int) -> None:
+        """Assert that a split_batch uid buffer from generation ``gen``
+        has not been recycled — the consumer-side enforcement of the
+        OWNERSHIP contract below (silent corruption otherwise)."""
+        if self.generation - gen >= self._RING:
+            raise RuntimeError(
+                f"split_batch uid buffer from generation {gen} was "
+                f"recycled (current {self.generation}, ring {self._RING});"
+                " copy the buffer to retain it across more calls"
+            )
 
     def _uid_buffer(self, cap: int) -> np.ndarray:
         i = self._uid_ring_i
@@ -371,7 +336,9 @@ class SplitContext:
         OWNERSHIP: the returned uid buffer belongs to this context and
         is recycled after ``_RING`` further ``split_batch`` calls — copy
         it to retain it longer.  (The production pipeline holds at most
-        two generations in flight.)
+        two generations in flight.)  Each call bumps :attr:`generation`;
+        consumers record it and call :meth:`check_uid_generation` before
+        reading the buffer, turning a stale read into a hard error.
         """
         if nthreads <= 0:
             nthreads = min(os.cpu_count() or 1, 16)
@@ -384,6 +351,7 @@ class SplitContext:
         seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
         base = int(seg_start[0])
         cap = max(int(seg_end[-1]) - base, 1)
+        self.generation += 1  # a ring slot is about to be recycled
         piece_uid = self._uid_buffer(cap)
         seg_np = np.empty(n_segs, dtype=np.int64)
         new_uid, new_start, new_end = self._news_buffers(cap)

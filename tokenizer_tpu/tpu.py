@@ -518,11 +518,21 @@ class TpuTokenizer(TikTokenizer):
 
     # -- native (C++) splitting --------------------------------------------
 
-    def _find_next_special_bytes(self, data: bytes, start: int, allowed_b):
+    def _find_next_special_bytes(
+        self, data: bytes, start: int, allowed_b, memo=None
+    ):
         """Byte-domain findNextSpecialToken: leftmost registered special
         from ``start`` (ties: registration order, like the alternation);
-        matches not in ``allowed_b`` are skipped from start+1."""
+        matches not in ``allowed_b`` are skipped from start+1.
+
+        ``memo`` (a dict the caller threads through consecutive calls on
+        one ``data``) caches each special's next occurrence, so a text is
+        scanned once per special instead of once per hit — the role the
+        reference's single compiled alternation plays (TikTokenizer.cs:80)
+        without degrading on large extra-special tables."""
         specials = self._specials_bytes
+        if memo is None:
+            memo = {}
         pos = start
         n = len(data)
         while True:
@@ -530,7 +540,10 @@ class TpuTokenizer(TikTokenizer):
             bs = None
             btid = -1
             for sb, tid in specials:
-                k = data.find(sb, pos)
+                k = memo.get(sb)
+                if k is None or 0 <= k < pos:
+                    k = data.find(sb, pos)
+                    memo[sb] = k
                 if k >= 0 and (bk < 0 or k < bk):
                     bk, bs, btid = k, sb, tid
             if bk < 0:
@@ -572,9 +585,12 @@ class TpuTokenizer(TikTokenizer):
         n_pieces = 0
         start = 0
         n = len(data)
+        sp_memo: dict = {}
         while True:
             if allowed_b:
-                m, end = self._find_next_special_bytes(data, start, allowed_b)
+                m, end = self._find_next_special_bytes(
+                    data, start, allowed_b, sp_memo
+                )
             else:
                 m, end = None, n
             if end > start:
@@ -649,8 +665,11 @@ class TpuTokenizer(TikTokenizer):
                 continue
             items: List[Tuple[str, int]] = []
             start = 0
+            sp_memo: dict = {}
             while True:
-                m, end = self._find_next_special_bytes(data, start, allowed_b)
+                m, end = self._find_next_special_bytes(
+                    data, start, allowed_b, sp_memo
+                )
                 if end > start:
                     items.append(("s", len(seg_starts)))
                     seg_starts.append(off + start)
@@ -681,7 +700,8 @@ class TpuTokenizer(TikTokenizer):
             self.stats.pieces += int(seg_counts.sum())
         else:
             uid_buf = seg_offs = seg_counts = None
-        return (text_items, uid_buf, seg_offs, seg_counts, new_pieces)
+        gen = self._split_ctx.generation
+        return (text_items, uid_buf, seg_offs, seg_counts, new_pieces, gen)
 
     def _native_assemble_phase(self, state) -> List[np.ndarray]:
         """Assemble token streams once the batch's rows are resolved.
@@ -690,8 +710,11 @@ class TpuTokenizer(TikTokenizer):
         filled by ``tt_assemble_batch`` (uid->row->ids resolved
         natively, parallel over segments).
         """
-        text_items, uid_buf, seg_offs, seg_counts, _ = state
+        text_items, uid_buf, seg_offs, seg_counts, _, gen = state
         if uid_buf is not None:
+            # The uid buffer is ring-recycled by further split_batch
+            # calls; a stale read must fail loudly, not corrupt output.
+            self._split_ctx.check_uid_generation(gen)
             seg_ids, id_offs, totals = self._native.assemble_batch(
                 self._rows,
                 self._row_len,
@@ -849,9 +872,12 @@ class TpuTokenizer(TikTokenizer):
         pid = self._native_pid
         ids: List[int] = []
         start = 0
+        sp_memo: dict = {}
         while True:
             if allowed_b:
-                m, end = self._find_next_special_bytes(data, start, allowed_b)
+                m, end = self._find_next_special_bytes(
+                    data, start, allowed_b, sp_memo
+                )
             else:
                 m, end = None, n
             if end > start:
