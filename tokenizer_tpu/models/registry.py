@@ -161,6 +161,22 @@ ENCODINGS: Mapping[str, EncodingSpec] = MappingProxyType(
             vocab_url="https://raw.githubusercontent.com/microsoft/Tokenizer/main/model/gpt2.tiktoken",
             special_tokens=_SPECIALS_GPT2,
         ),
+        # -- framework addition (NOT in the reference registry) ---------
+        # cl100k-SCALE stand-in for offline environments: 100,256 ranks
+        # (cl100k_base's exact mergeable-rank count) trained offline by
+        # tools/train_synth_vocab.py and vendored in vocab/, paired with
+        # the REAL cl100k_base pattern + special table so the pattern-2
+        # scanner and a 100k-token pair table are exercised end-to-end.
+        # Cross-validated bit-exact against Rust tiktoken on the same
+        # ranks (tests/test_cl100k_synth.py).  Token IDS differ from the
+        # real cl100k_base by construction — this exists for perf work
+        # and pattern-2 coverage, not OpenAI-model compatibility.
+        "cl100k_synth": EncodingSpec(
+            name="cl100k_synth",
+            pattern=REGEX_PATTERN_2,
+            vocab_url="",  # vendored only; never fetched
+            special_tokens=_SPECIALS_CL100K,
+        ),
     }
 )
 

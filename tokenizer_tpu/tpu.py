@@ -841,9 +841,18 @@ class TpuTokenizer(TikTokenizer):
             )
             if prev is not None:
                 pstate, phandle = prev
+                prev = None
                 self._finish_new_piece_rows(phandle)
                 yield self._native_assemble_phase(pstate)
-            prev = (state, handle)
+            if handle is None:
+                # Nothing in flight on the device (warm chunk resolved by
+                # the host-wave router, or no new pieces at all): defer
+                # nothing — assembling now is the sync fast path, and a
+                # steady-state stream degenerates to it instead of
+                # holding every chunk one step for no overlap gain.
+                yield self._native_assemble_phase(state)
+            else:
+                prev = (state, handle)
         if prev is not None:
             pstate, phandle = prev
             self._finish_new_piece_rows(phandle)
