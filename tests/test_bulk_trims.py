@@ -1,0 +1,139 @@
+"""Bulk trim APIs vs the host engine loop — bit parity.
+
+encode_trim_suffix_batch / encode_trim_prefix_batch reuse the device
+pipeline's split/dedup rows and do only budget bookkeeping per text;
+every (text, budget, mode, specials) cell must equal the reference-
+parity host loop exactly (ids AND surviving text).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import require_vocab
+
+TEXTS = [
+    "",
+    "!",
+    "Hello World, this is a somewhat longer sentence for trimming.",
+    "don't CAN'T it's I'll we've",
+    "numbers 1 22 333 4444 55555 123456789",
+    "  leading spaces   and   runs  ",
+    "line\nbreaks\r\nand\rreturns \n \n mixed \n\n\n",
+    "unicode ⭐ étoile Straße ñandú",
+    "CJK 你好世界 こんにちは 안녕하세요 with tails",
+    "emoji 💩 👍🏽 astral pairs 𝄞 music",
+    "a" * 300,
+    "x<|endoftext|>y<|endoftext|>z tail",
+    "<|endoftext|>lead",
+]
+
+BUDGETS = [0, 1, 2, 3, 5, 8, 13, 40, 10_000]
+
+
+@pytest.fixture(scope="module")
+def tpu_tok():
+    require_vocab("gpt2")
+    from tokenizer_tpu import create_by_encoder_name
+
+    return create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+
+
+@pytest.fixture(scope="module")
+def host_tok():
+    require_vocab("gpt2")
+    from tokenizer_tpu import create_by_encoder_name
+
+    return create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=False)
+
+
+@pytest.mark.parametrize("allowed", [None, "all"])
+@pytest.mark.parametrize("mode", ["ts", "cs"])
+def test_trim_suffix_batch_parity(tpu_tok, host_tok, allowed, mode):
+    for budget in BUDGETS:
+        got = tpu_tok.encode_trim_suffix_batch(
+            TEXTS, budget, allowed_special=allowed, mode=mode
+        )
+        for text, res in zip(TEXTS, got):
+            expect = host_tok.encode_trim_suffix(
+                text, budget, allowed_special=allowed, mode=mode
+            )
+            assert res.token_ids == expect.token_ids, (text, budget, mode)
+            assert res.text == expect.text, (text, budget, mode)
+
+
+@pytest.mark.parametrize("allowed", [None, "all"])
+def test_trim_prefix_batch_parity(tpu_tok, host_tok, allowed):
+    for budget in BUDGETS:
+        got = tpu_tok.encode_trim_prefix_batch(
+            TEXTS, budget, allowed_special=allowed
+        )
+        for text, res in zip(TEXTS, got):
+            expect = host_tok.encode_trim_prefix(
+                text, budget, allowed_special=allowed
+            )
+            assert res.token_ids == expect.token_ids, (text, budget)
+            assert res.text == expect.text, (text, budget)
+
+
+def test_per_text_budgets(tpu_tok, host_tok):
+    budgets = list(range(1, len(TEXTS) + 1))
+    got = tpu_tok.encode_trim_suffix_batch(TEXTS, budgets)
+    for text, b, res in zip(TEXTS, budgets, got):
+        expect = host_tok.encode_trim_suffix(text, b)
+        assert (res.token_ids, res.text) == tuple(expect), (text, b)
+
+
+def test_trim_batch_on_cl100k_synth():
+    require_vocab("cl100k_synth")
+    from tokenizer_tpu import create_by_encoder_name
+
+    tpu = create_by_encoder_name("cl100k_synth", allow_fetch=False, use_tpu=True)
+    host = create_by_encoder_name(
+        "cl100k_synth", allow_fetch=False, use_tpu=False
+    )
+    for budget in (1, 4, 9, 50):
+        got = tpu.encode_trim_suffix_batch(TEXTS, budget, allowed_special="all")
+        for text, res in zip(TEXTS, got):
+            expect = host.encode_trim_suffix(
+                text, budget, allowed_special="all"
+            )
+            assert (res.token_ids, res.text) == tuple(expect), (text, budget)
+        gotp = tpu.encode_trim_prefix_batch(TEXTS, budget, allowed_special="all")
+        for text, res in zip(TEXTS, gotp):
+            expect = host.encode_trim_prefix(text, budget, allowed_special="all")
+            assert (res.token_ids, res.text) == tuple(expect), (text, budget)
+
+
+def test_fuzz_trim_parity(tpu_tok, host_tok):
+    import random
+
+    rng = random.Random(77)
+    alphabet = (
+        "abc ABC 123 \n\r\t ⭐你好 é 💩 '! .,"
+        "<|endoftext|>"
+    )
+    for _ in range(120):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 50))
+        )
+        budget = rng.randint(0, 25)
+        mode = rng.choice(["ts", "cs"])
+        allowed = rng.choice([None, "all"])
+        got = tpu_tok.encode_trim_suffix_batch(
+            [text], budget, allowed_special=allowed, mode=mode
+        )[0]
+        expect = host_tok.encode_trim_suffix(
+            text, budget, allowed_special=allowed, mode=mode
+        )
+        assert (got.token_ids, got.text) == tuple(expect), (
+            text,
+            budget,
+            mode,
+            allowed,
+        )
+        gp = tpu_tok.encode_trim_prefix_batch(
+            [text], budget, allowed_special=allowed
+        )[0]
+        ep = host_tok.encode_trim_prefix(text, budget, allowed_special=allowed)
+        assert (gp.token_ids, gp.text) == tuple(ep), (text, budget, allowed)

@@ -115,6 +115,10 @@ class TpuTokenizer(TikTokenizer):
         self._special_rows: Dict[int, int] = {}
         self._rows = np.zeros((_INIT_ROWS, _MAX_OUT), dtype=np.int32)
         self._row_len = np.zeros(_INIT_ROWS, dtype=np.int32)
+        #: UTF-16 code units of each row's source piece (specials: the
+        #: token string) — the trim bookkeeping currency of the
+        #: reference (TikTokenizer.cs:298,315; utils/text.py).
+        self._row_u16 = np.zeros(_INIT_ROWS, dtype=np.int32)
         self._n_rows = 0
         #: flat side pool for rows whose pieces produced > _MAX_OUT ids
         #: (long low-merge pieces): row_len[r] == -(k+1) encodes k ids
@@ -168,7 +172,9 @@ class TpuTokenizer(TikTokenizer):
             rows[: self._n_rows] = self._rows[: self._n_rows]
             lens = np.zeros(cap, dtype=np.int32)
             lens[: self._n_rows] = self._row_len[: self._n_rows]
-            self._rows, self._row_len = rows, lens
+            u16 = np.zeros(cap, dtype=np.int32)
+            u16[: self._n_rows] = self._row_u16[: self._n_rows]
+            self._rows, self._row_len, self._row_u16 = rows, lens, u16
         start = self._n_rows
         self._n_rows = need
         return start
@@ -236,11 +242,22 @@ class TpuTokenizer(TikTokenizer):
     def _special_row(self, tid: int) -> int:
         r = self._special_rows.get(tid)
         if r is None:
+            from .utils.text import utf16_len
+
             r = self._reserve_rows(1)
             self._rows[r, 0] = tid
             self._row_len[r] = 1
+            self._row_u16[r] = utf16_len(self.special_tokens_decoder[tid])
             self._special_rows[tid] = r
         return r
+
+    @staticmethod
+    def _u16_units_of_bytes(pb: bytes) -> int:
+        """UTF-16 code units of a UTF-8 byte string without decoding:
+        one unit per lead byte, plus one extra per 4-byte (astral) lead."""
+        cont = sum(1 for b in pb if 0x80 <= b < 0xC0)
+        astral = sum(1 for b in pb if b >= 0xF0)
+        return len(pb) - cont + astral
 
     # -- device plumbing ----------------------------------------------------
 
@@ -492,6 +509,8 @@ class TpuTokenizer(TikTokenizer):
             for piece in findall(text, start, end):
                 r = piece_rows.get(piece)
                 if r is None:
+                    from .utils.text import utf16_len
+
                     if piece in host_force:
                         # Exact whole-piece parity for adversarial vocabs:
                         # resolve via the host oracle immediately.
@@ -505,6 +524,7 @@ class TpuTokenizer(TikTokenizer):
                         r = self._reserve_rows(1)
                         piece_rows[piece] = r
                         new_pieces.append(piece)
+                    self._row_u16[r] = utf16_len(piece)
                 items.append(r)
             if m is None:
                 break
@@ -568,6 +588,7 @@ class TpuTokenizer(TikTokenizer):
         for uid, pb in news:
             r = self._reserve_rows(1)
             self._uid_rows[uid] = r
+            self._row_u16[r] = self._u16_units_of_bytes(pb)
             if force_host and pb in force_host:
                 self._store_row(r, self._oracle_piece(pb))
                 self.stats.host_fallback_pieces += 1
@@ -857,6 +878,182 @@ class TpuTokenizer(TikTokenizer):
             pstate, phandle = prev
             self._finish_new_piece_rows(phandle)
             yield self._native_assemble_phase(pstate)
+
+    # -- bulk trims ---------------------------------------------------------
+
+    def _rows_for_items(self, item, uid_buf, seg_offs, seg_counts):
+        """Row-index array of one text's pieces+specials, in order."""
+        if isinstance(item, int):
+            if item < 0:
+                return np.empty(0, np.int32)
+            o = int(seg_offs[item])
+            c = int(seg_counts[item])
+            return self._uid_rows[uid_buf[o : o + c]]
+        parts = []
+        for kind, v in item:
+            if kind == "s":
+                o = int(seg_offs[v])
+                c = int(seg_counts[v])
+                parts.append(self._uid_rows[uid_buf[o : o + c]])
+            else:
+                parts.append(np.array([v], np.int32))
+        if not parts:
+            return np.empty(0, np.int32)
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _trim_batch_setup(self, texts, allowed):
+        """Shared bulk-trim plumbing: split, resolve, assemble.
+
+        Returns (assembled ids per text, state) — per-piece boundary
+        bookkeeping then runs over the row matrix with no re-encode.
+        """
+        state = self._native_split_phase(texts, allowed)
+        new_pieces = state[4]
+        self._resolve_new_piece_rows(
+            [pb for _, pb in new_pieces], [r for r, _ in new_pieces]
+        )
+        return self._native_assemble_phase(state), state
+
+    def encode_trim_suffix_batch(
+        self,
+        texts: Sequence[str],
+        max_token_counts,
+        allowed_special: AllowedSpecial = None,
+        mode: str = "ts",
+    ):
+        """Bulk ``encode_trim_suffix``: one split/merge pass for the whole
+        batch (reusing the dedup rows like :meth:`encode_batch`), then
+        per-text budget bookkeeping over cumulative (token count, UTF-16
+        length) boundaries — bit-identical to the host loop
+        (ITokenizer.cs:20-36: the trims are half the public surface and
+        deserve the bulk fast path too; VERDICT.md r2 next #9).
+
+        ``max_token_counts`` is an int (same budget for every text) or a
+        per-text sequence.
+        """
+        if mode not in ("ts", "cs"):
+            raise ValueError(f"mode must be 'ts' or 'cs', got {mode!r}")
+        budgets = (
+            [int(max_token_counts)] * len(texts)
+            if np.isscalar(max_token_counts)
+            else [int(b) for b in max_token_counts]
+        )
+        if len(budgets) != len(texts):
+            raise ValueError("one budget per text required")
+        from .engine import TrimResult
+        from .utils.text import utf16_slice
+
+        if self._native is None or self._native_pid is None:
+            return [
+                self.encode_trim_suffix(t, b, allowed_special, mode)
+                for t, b in zip(texts, budgets)
+            ]
+        allowed = self._resolve_allowed(allowed_special)
+        assembled, state = self._trim_batch_setup(texts, allowed)
+        text_items, uid_buf, seg_offs, seg_counts, _, _gen = state
+        out = []
+        for i, text in enumerate(texts):
+            b = budgets[i]
+            if b < 1:
+                # Degenerate budgets take the host loop verbatim.
+                out.append(
+                    self.encode_trim_suffix(text, b, allowed_special, mode)
+                )
+                continue
+            ids_full = assembled[i]
+            rows_idx = self._rows_for_items(
+                text_items[i], uid_buf, seg_offs, seg_counts
+            )
+            rl = self._row_len[rows_idx]
+            k = np.where(rl >= 0, rl, -rl - 1)
+            cum = np.cumsum(k)
+            total = int(cum[-1]) if cum.size else 0
+            if total <= b:
+                out.append(TrimResult([int(x) for x in ids_full], text))
+                continue
+            cum16 = np.cumsum(self._row_u16[rows_idx])
+            j = int(np.searchsorted(cum, b, side="left"))
+            if mode == "ts" or int(cum[j]) == b:
+                # Budget boundary inside piece j: TS slices its ids and
+                # counts its WHOLE text (tikTokenizer.ts:246-249); exact
+                # fit keeps piece j in both modes.
+                keep = b
+                enc_len = int(cum16[j])
+            else:
+                # C# drops the overflowing piece whole
+                # (TikTokenizer.cs:296-339).
+                keep = int(cum[j - 1]) if j > 0 else 0
+                enc_len = int(cum16[j - 1]) if j > 0 else 0
+            out.append(
+                TrimResult(
+                    [int(x) for x in ids_full[:keep]],
+                    utf16_slice(text, 0, enc_len),
+                )
+            )
+        return out
+
+    def encode_trim_prefix_batch(
+        self,
+        texts: Sequence[str],
+        max_token_counts,
+        allowed_special: AllowedSpecial = None,
+    ):
+        """Bulk ``encode_trim_prefix`` (same scheme as the suffix batch;
+        keeps the TS naive re-slice fallback, tikTokenizer.ts:454-462,
+        which here reuses the already-assembled ids instead of
+        re-encoding)."""
+        budgets = (
+            [int(max_token_counts)] * len(texts)
+            if np.isscalar(max_token_counts)
+            else [int(b) for b in max_token_counts]
+        )
+        if len(budgets) != len(texts):
+            raise ValueError("one budget per text required")
+        from .engine import TrimResult
+        from .utils.text import utf16_len, utf16_slice
+
+        if self._native is None or self._native_pid is None:
+            return [
+                self.encode_trim_prefix(t, b, allowed_special)
+                for t, b in zip(texts, budgets)
+            ]
+        allowed = self._resolve_allowed(allowed_special)
+        assembled, state = self._trim_batch_setup(texts, allowed)
+        text_items, uid_buf, seg_offs, seg_counts, _, _gen = state
+        out = []
+        for i, text in enumerate(texts):
+            b = budgets[i]
+            ids_full = assembled[i]
+            if b < 1:
+                out.append(self.encode_trim_prefix(text, b, allowed_special))
+                continue
+            rows_idx = self._rows_for_items(
+                text_items[i], uid_buf, seg_offs, seg_counts
+            )
+            rl = self._row_len[rows_idx]
+            k = np.where(rl >= 0, rl, -rl - 1)
+            cum = np.cumsum(k)
+            total = int(cum[-1]) if cum.size else 0
+            if total <= b:
+                out.append(TrimResult([int(x) for x in ids_full], text))
+                continue
+            cum16 = np.cumsum(self._row_u16[rows_idx])
+            prefix = total - b
+            j = int(np.searchsorted(cum, prefix, side="left"))
+            actual = int(cum[j])
+            if actual > b:
+                # Chunk boundaries overshoot: exact last-b slice with
+                # decoded text (the TS fallback).
+                sliced = [int(x) for x in ids_full[total - b :]]
+                out.append(TrimResult(sliced, self.decode(sliced)))
+                continue
+            out.append(
+                TrimResult(
+                    [int(x) for x in ids_full[actual:]],
+                    utf16_slice(text, int(cum16[j]), utf16_len(text)),
+                )
+            )
+        return out
 
     def encode(self, text: str, allowed_special: AllowedSpecial = None):
         """Single-string encode (lowest latency; no device dispatch).
