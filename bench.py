@@ -201,7 +201,7 @@ def kernel_bench(tok, docs):
     from tokenizer_tpu.ops.packing import BUCKETS
 
     tok._ensure_device()
-    table, merge_fn, tab = tok.table, tok._merge_fn, tok._tab_dev
+    table, merge_fn, tab = tok.table, tok._merge_fn, tok._device_tab()
     # Realistic pieces: actual regex pieces of the corpus, bucketed.
     pieces = set()
     for d in docs[:200]:
@@ -447,6 +447,11 @@ def measure():
         )
     )
     print("# detail " + json.dumps(detail), file=sys.stderr)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # Skip interpreter teardown: a channel-probe thread stuck inside a
+    # stalled transport call would abort the process during exit.
+    os._exit(0)
 
 
 def main():
@@ -478,7 +483,10 @@ def main():
         except subprocess.TimeoutExpired:
             return None
         lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-        if p.returncode != 0 or not lines:
+        # Accept the metric line even on a nonzero exit: a probe thread
+        # stuck in a stalled transport call can abort interpreter
+        # teardown AFTER the measurement printed (exit 134).
+        if not lines:
             return None
         for l in p.stderr.splitlines():
             if l.startswith("# detail"):

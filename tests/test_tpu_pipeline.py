@@ -281,3 +281,47 @@ def test_register_new_uids_unsorted_news(pair):
     assert {r for r, _ in new_pieces} == {
         tpu._uid_rows[n], tpu._uid_rows[n + 1]
     }
+
+
+def test_adaptive_wave_router_gates_on_probe(gpt2_vocab):
+    """Big waves route to the host until the background channel probe
+    completes (stall immunity), then to the device; output identical."""
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    if tok._native is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+    # A wave big enough to clear the static host-wave floor: letter-only
+    # pseudo-random words so pattern 1 yields one unique piece per word.
+    import hashlib
+
+    def word(i, j, salt):
+        h = hashlib.blake2b(f"{i}.{j}.{salt}".encode(), digest_size=6).digest()
+        return "".join(chr(97 + b % 26) for b in h)
+
+    big = [" ".join(word(i, j, 0) + word(j, i, 3) for j in range(80)) for i in range(40)]
+
+    tok._ensure_device()
+    tok._dev_ready = False  # simulate a stalled channel probe
+    got = tok.encode_batch(big)
+    for g, t in zip(got, big):
+        assert list(g) == host.encode(t)
+    assert tok.stats.device_pieces == 0
+    assert tok.stats.host_wave_pieces > 1024
+
+    # Channel proves itself: the next big batch takes the device.
+    tok._dev_ready = True
+    tok._dev_pp = None
+    big2 = [" ".join(word(i, j, 9) + word(j, i, 14) for j in range(80)) for i in range(40)]
+    got2 = tok.encode_batch(big2)
+    for g, t in zip(got2, big2):
+        assert list(g) == host.encode(t)
+    assert tok.stats.device_pieces > 0
+    assert tok._dev_pp is not None  # EMA fed by the measured wave
+

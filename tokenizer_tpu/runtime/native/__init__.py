@@ -21,6 +21,7 @@ __all__ = [
     "available",
     "presplit",
     "bpe_encode",
+    "bpe_encode_batch",
     "SplitContext",
     "PATTERN_IDS",
 ]
@@ -184,7 +185,23 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_int64,  # out_cap
         ]
-        if lib.tt_abi_version() != 5:
+        lib.tt_bpe_encode_batch.restype = ctypes.c_int64
+        lib.tt_bpe_encode_batch.argtypes = [
+            ctypes.c_void_p,  # blob
+            ctypes.c_void_p,  # offs
+            ctypes.c_int64,  # n_pieces
+            ctypes.c_void_p,  # whole_ids (nullable)
+            ctypes.c_void_p,  # byte_to_id
+            ctypes.c_void_p,  # key_left
+            ctypes.c_void_p,  # key_right
+            ctypes.c_void_p,  # values
+            ctypes.c_int32,  # slot_bits
+            ctypes.c_int32,  # max_probes
+            ctypes.c_int,  # nthreads
+            ctypes.c_void_p,  # out
+            ctypes.c_void_p,  # out_counts
+        ]
+        if lib.tt_abi_version() != 6:
             return None
         _LIB = lib
         return _LIB
@@ -409,6 +426,57 @@ def bpe_encode(piece: bytes, table) -> np.ndarray:
     if w < 0:
         raise RuntimeError(f"tt_bpe_encode failed: {w}")
     return out[:w]
+
+
+def bpe_encode_batch(
+    pieces,
+    table,
+    whole_ids: Optional[np.ndarray] = None,
+    nthreads: int = 0,
+):
+    """Batched exact merge of many pieces in ONE native call.
+
+    Returns ``(out, offs, counts)``: piece i's ids are
+    ``out[offs[i] : offs[i] + counts[i]]``.  ``whole_ids`` (int32,
+    -1 = no hit) short-circuits whole-piece encoder hits, preserving
+    the engine's order of operations (TikTokenizer.cs:261-268).
+    Per-thread merge scratch is reused across pieces — the per-call
+    allocation cost that made one-ctypes-call-per-piece ~100 us/piece.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native bpe unavailable")
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+    n = len(pieces)
+    blob = b"".join(pieces)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum([len(p) for p in pieces], out=offs[1:])
+    out = np.empty(max(len(blob), 1), dtype=np.int32)
+    counts = np.zeros(max(n, 1), dtype=np.int32)
+    wi_ptr = None
+    if whole_ids is not None:
+        whole_ids = np.ascontiguousarray(whole_ids, dtype=np.int32)
+        wi_ptr = whole_ids.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.tt_bpe_encode_batch(
+        blob,
+        offs.ctypes.data_as(ctypes.c_void_p),
+        n,
+        wi_ptr,
+        table.byte_to_id.ctypes.data_as(ctypes.c_void_p),
+        table.key_left.ctypes.data_as(ctypes.c_void_p),
+        table.key_right.ctypes.data_as(ctypes.c_void_p),
+        table.values.ctypes.data_as(ctypes.c_void_p),
+        table.slot_bits,
+        table.max_probes,
+        nthreads,
+        out.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc < 0:
+        raise RuntimeError(f"tt_bpe_encode_batch failed: {rc}")
+    return out, offs[:-1], counts[:n]
 
 
 def gather_bytes(

@@ -159,6 +159,32 @@ class TpuTokenizer(TikTokenizer):
         self._b_quantum: Optional[int] = None
         #: wave-fused jit fns keyed by the wave's tile-shape combo.
         self._wave_fns: Dict[tuple, object] = {}
+        # -- adaptive wave routing (single-device path) -------------------
+        #: False until the background channel probe completes one tiny
+        #: merge INCLUDING a device->host transfer.  The tunneled-TPU
+        #: transport can stall its first d2h for minutes (bench.py
+        #: transport caveat); probing on a daemon thread means that
+        #: stall blocks nobody — waves route to the host C++ merge until
+        #: the channel proves itself.  On directly-attached chips the
+        #: probe completes in milliseconds.
+        self._dev_ready = False
+        self._dev_probe_started = False
+        import threading as _threading
+
+        #: set when the channel probe finishes (either way); dispatch
+        #: grants a short grace wait on it a few times so healthy
+        #: environments take the device from the very first wave.
+        self._dev_event = _threading.Event()
+        self._grace_waits = 0
+        #: EMA of BLOCKING host seconds per piece for each route (device
+        #: = pack+h2d+dispatch+d2h+row writes; overlap-hidden exec time
+        #: excluded).  Seeds: C++ heap merge ~1e-6 s/piece; device seeded
+        #: by the probe.
+        self._host_pp = 1e-6
+        self._dev_pp: Optional[float] = None
+        #: host-routed waves since the last device wave — forces an
+        #: occasional device re-measure so a recovered channel is found.
+        self._host_waves_since_dev = 0
 
     # -- row-matrix plumbing ------------------------------------------------
 
@@ -204,6 +230,44 @@ class TpuTokenizer(TikTokenizer):
         if not pbytes:
             return []
         return self._native.bpe_encode(pbytes, self.table)
+
+    def _host_wave_resolve(self, as_bytes: List[bytes], row_ids) -> None:
+        """Resolve a whole wave on the host: ONE batched native merge
+        call (threaded, scratch-reused) and one vectorized row scatter —
+        the per-piece ctypes path cost ~100 us/piece in allocations and
+        call overhead."""
+        enc = self.encoder
+        n = len(as_bytes)
+        whole = np.fromiter(
+            (enc.get(pb, -1) for pb in as_bytes), np.int32, count=n
+        )
+        out, offs, counts = self._native.bpe_encode_batch(
+            as_bytes, self.table, whole_ids=whole
+        )
+        rr = np.fromiter(row_ids, np.int64, count=n)
+        small = counts <= _MAX_OUT
+        if small.all():
+            c = counts
+            sel_rr = rr
+        else:
+            for i in np.nonzero(~small)[0]:
+                o = int(offs[i])
+                self._spill_overflow(int(rr[i]), out[o : o + int(counts[i])])
+            c = counts[small]
+            sel_rr = rr[small]
+            offs = offs[small]
+        if len(sel_rr):
+            # Gather each kept piece's ids into a padded block, then one
+            # fancy-index store into the row matrix.
+            starts = np.repeat(offs, c)
+            intra = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(c, dtype=np.int64) - c, c
+            )
+            vals = out[starts + intra]
+            pad = np.zeros((len(sel_rr), _MAX_OUT), dtype=np.int32)
+            pad[np.arange(_MAX_OUT)[None, :] < c[:, None]] = vals
+            self._rows[sel_rr] = pad
+            self._row_len[sel_rr] = c
 
     def _store_row(self, r: int, toks) -> None:
         """Store a resolved id list, spilling > _MAX_OUT to the pool."""
@@ -297,8 +361,75 @@ class TpuTokenizer(TikTokenizer):
         else:
             self._merge_fn = jit_merge_fn(self.table)
             self._b_quantum = LANE
-        self._tab_dev = device_table(self.table)
+        if self.mesh is not None:
+            self._dev_ready = True  # mesh path: no adaptive gating
         return self._b_quantum
+
+    def _device_tab(self):
+        """Lazy device-resident pair table.
+
+        The h2d of a 100k-vocab table is several MB — on a stalled
+        transport it blocks for the stall's duration, so it must happen
+        on the PROBE thread (the first caller), never on the encode
+        path, which only takes the device route after the probe
+        completes."""
+        if self._tab_dev is None:
+            from .ops.merge_jax import device_table
+
+            self._tab_dev = device_table(self.table)
+        return self._tab_dev
+
+    def _start_channel_probe(self) -> None:
+        """Prove the device end-to-end on a daemon thread.
+
+        EVERYTHING that can touch a stalled transport runs here: backend
+        discovery (``jax.local_devices`` — even that blocks while the
+        tunnel is down), the device-table h2d, the first compile, one
+        minimal-tile merge, and its d2h (the operation the tunneled
+        transport is known to stall on for minutes).  None of it may run
+        on the encode path; completion flips ``_dev_ready`` and seeds
+        the device-cost EMA, and failure leaves the process permanently
+        in host mode.
+        """
+        if self._dev_probe_started:
+            return
+        self._dev_probe_started = True
+        import os
+
+        if os.environ.get("TOKENIZER_TPU_NO_DEVICE"):
+            # Operational kill switch: serve everything from the host
+            # route (never probe, never dispatch).  The bench uses it
+            # when the tunnel transport is known-stalled.
+            self._dev_event.set()
+            return
+        import threading
+
+        def probe():
+            try:
+                import time
+
+                self._ensure_device()
+                if self.mesh is not None:
+                    return  # mesh path: _ensure_device flipped ready
+                from .ops.packing import LANE
+
+                ids = np.full((8, LANE), -1, np.int32)
+                ids[0, :] = int(self.table.byte_to_id[97])
+                lengths = np.ones(LANE, np.int32)
+                t0 = time.perf_counter()
+                out_ids, out_n = self._merge_fn(
+                    self._device_tab(), ids, lengths
+                )
+                np.asarray(out_ids)  # the d2h that can stall
+                dt = time.perf_counter() - t0
+                self._dev_pp = dt / LANE
+                self._dev_ready = True
+            except Exception:
+                pass  # device unusable: host route keeps serving
+            finally:
+                self._dev_event.set()
+
+        threading.Thread(target=probe, daemon=True).start()
 
     def _device_merge_async(self, ids: np.ndarray, lengths: np.ndarray):
         """Dispatch one tile's merge; returns un-materialized jax arrays."""
@@ -306,7 +437,7 @@ class TpuTokenizer(TikTokenizer):
 
         self._ensure_device()
         return self._merge_fn(
-            self._tab_dev, jnp.asarray(ids), jnp.asarray(lengths)
+            self._device_tab(), jnp.asarray(ids), jnp.asarray(lengths)
         )
 
     def _device_merge(self, ids: np.ndarray, lengths: np.ndarray):
@@ -332,18 +463,59 @@ class TpuTokenizer(TikTokenizer):
         """
         if not as_bytes:
             return None
-        self.stats.unique_pieces += len(as_bytes)
-        b_quantum = self._ensure_device()
+        import time
+
+        n_wave = len(as_bytes)
+        self.stats.unique_pieces += n_wave
+        if self._native is not None and self._mesh_arg in ("auto", None):
+            # Device resolution (backend discovery, table h2d, first
+            # compile, probe merge + d2h) runs ONLY on the probe thread:
+            # with a stalled transport, even jax.local_devices() blocks
+            # for minutes, so the encode path must not call into jax
+            # until the channel has proven itself.
+            self._start_channel_probe()
+            if not self._dev_event.is_set() and self._grace_waits < 3:
+                # Short grace so healthy environments take the device
+                # from the very first wave.
+                self._grace_waits += 1
+                self._dev_event.wait(0.5)
+        else:
+            self._ensure_device()  # explicit mesh / no native fallback
         if (
-            self.mesh is None
-            and self._native is not None
-            and len(as_bytes) <= _HOST_WAVE_MAX
-        ):
-            # Small wave: host C++ merge beats a device round trip.
-            for pbytes, r in zip(as_bytes, row_ids):
-                self._store_row(r, self._host_resolve_piece(pbytes))
-            self.stats.host_wave_pieces += len(as_bytes)
-            return None
+            self.mesh is None or self._merge_fn is None
+        ) and self._native is not None:
+            # Adaptive routing: small waves always take the host C++
+            # merge (a device round trip costs more); larger waves take
+            # the device unless (a) the channel probe hasn't completed
+            # (stall immunity — see _start_channel_probe) or (b) the
+            # measured blocking cost per piece favors the host, with an
+            # exploration wave every 32 host waves so a recovered
+            # channel is re-discovered.
+            route_host = (
+                n_wave <= _HOST_WAVE_MAX
+                or not self._dev_ready
+                or (
+                    self._dev_pp is not None
+                    and self._dev_pp > self._host_pp
+                    and self._host_waves_since_dev < 32
+                )
+            )
+            if route_host:
+                t0 = time.perf_counter()
+                self._host_wave_resolve(as_bytes, row_ids)
+                dt = time.perf_counter() - t0
+                if n_wave >= 64:  # don't let tiny waves skew the EMA
+                    self._host_pp = 0.5 * self._host_pp + 0.5 * (
+                        dt / n_wave
+                    )
+                self._host_waves_since_dev += 1
+                self.stats.host_wave_pieces += n_wave
+                return None
+            self._host_waves_since_dev = 0
+        t_dispatch0 = time.perf_counter()
+        # Device route: resolution already happened (probe thread or the
+        # eager branch above), so this is a cheap field read.
+        b_quantum = self._ensure_device()
         plan = pack_pieces(
             as_bytes, self.table.byte_to_id, b_quantum=b_quantum
         )
@@ -368,7 +540,7 @@ class TpuTokenizer(TikTokenizer):
                     [b.ids.ravel() for b in plan.batches]
                     + [b.lengths for b in plan.batches]
                 )
-                fused = wave_fn(self._tab_dev, flat)
+                fused = wave_fn(self._device_tab(), flat)
         if fused is None:
             pending = [
                 self._device_merge_async(batch.ids, batch.lengths)
@@ -381,7 +553,8 @@ class TpuTokenizer(TikTokenizer):
                     [o.ravel() for o, _ in pending]
                     + [n.ravel() for _, n in pending]
                 )
-        return as_bytes, row_ids, plan, pending, fused
+        t_dispatch = time.perf_counter() - t_dispatch0
+        return as_bytes, row_ids, plan, pending, fused, t_dispatch
 
     def _wave_fn(self, shapes: tuple):
         """Jitted all-buckets-in-one merge for a tile-shape combo.
@@ -436,7 +609,10 @@ class TpuTokenizer(TikTokenizer):
         """Block on dispatched merges and write the resolved rows."""
         if handle is None:
             return
-        as_bytes, row_ids, plan, pending, fused = handle
+        import time
+
+        as_bytes, row_ids, plan, pending, fused, t_dispatch = handle
+        t_finish0 = time.perf_counter()
         rows, row_len = self._rows, self._row_len
         bucket_out: List[Tuple[np.ndarray, np.ndarray]] = []
         if fused is not None:
@@ -478,6 +654,14 @@ class TpuTokenizer(TikTokenizer):
             else:  # host oracle fallback (oversized piece)
                 self._store_row(r, self._oracle_piece(pbytes))
                 self.stats.host_fallback_pieces += 1
+        # Blocking device-route cost per piece (pack+h2d+dispatch plus
+        # d2h+row writes; exec time hidden by overlap is excluded) —
+        # feeds the adaptive router.
+        dt = t_dispatch + (time.perf_counter() - t_finish0)
+        pp = dt / max(len(as_bytes), 1)
+        self._dev_pp = pp if self._dev_pp is None else (
+            0.5 * self._dev_pp + 0.5 * pp
+        )
 
     def _resolve_new_piece_rows(
         self, as_bytes: List[bytes], row_ids: List[int]
