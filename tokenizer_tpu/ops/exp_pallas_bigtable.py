@@ -14,30 +14,27 @@ then resolve the lane with the supported vreg-local
 ``take_along_axis``.  Bit-exact vs PairTable.lookup (tests/
 test_exp_pallas_bigtable.py runs it in interpret mode).
 
-Verdict from measurement (tools/exp_pallas_bigtable.py, TPU v5e,
-jax 0.9.0, 2026-08-20 — rerun the tool to reproduce):
+Status: BIT-EXACT vs the host PairTable oracle (interpret mode,
+tests/test_exp_pallas_bigtable.py).  On-chip A/B vs the XLA native
+gather: run ``python tools/exp_pallas_bigtable.py`` on a TPU — numbers
+land in the tool's JSON output (the CI tunnel was stalled when this
+landed; see the committed record below if one has been captured).
 
-  probing one [16, 128] tile of pairs against the gpt2 table
-  (524,288 slots, 9 probe rounds):
-
-    XLA native gather lookup:      0.10 ms   (the production kernel's
-                                              probe primitive)
-    Pallas one-hot matmul lookup:  34.9 ms   (~350x slower)
-
-  arithmetic: each probe round moves a [2048, 4096] f32 one-hot
-  through the MXU per 2048 probes — 2048*524288*3arrays*4B of
-  streamed table rows per round vs the gather's ~2048*3*4B of
-  actually-needed bytes; the MXU formulation pays a ~128-512x
-  bandwidth/FLOP overfetch BY CONSTRUCTION, and 9 serial rounds
-  multiply it.  No tiling choice removes that factor: it is the cost
-  of expressing sparse addressing as dense linear algebra.
+Arithmetic expectation, independent of measurement: each probe round
+streams a [128, n_rows] f32 one-hot per 128 probes through the MXU —
+per probe that touches n_rows*2halves*4B of one-hot plus the whole
+[n_rows, 384] f32 table per 128 probes, where the gather touches ~3*4B
+of actually-needed bytes.  The MXU formulation pays a bandwidth/FLOP
+overfetch of order n_rows (4096 for gpt2) BY CONSTRUCTION, serialized
+over max_probes rounds; no tiling removes that factor — it is the cost
+of expressing sparse addressing as dense linear algebra.
 
 Conclusion: the XLA kernel (ops/merge_jax.py), whose large-table
 dynamic gather XLA:TPU lowers natively, stays the production merge
 path for real vocabularies.  The Pallas path serves vreg-sized tables
 (ops/merge_pallas.py) and takes the production slot if/when Mosaic
 exposes a wider dynamic gather.  This module is retained as the
-measured record (not wired into production).
+experiment record (not wired into production).
 """
 
 from __future__ import annotations
