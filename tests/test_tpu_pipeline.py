@@ -273,14 +273,22 @@ def test_register_new_uids_unsorted_news(pair):
     assert len(tpu._uid_rows) == cap
     # Hand the registrar an unsorted news batch crossing the boundary:
     # max uid first, smaller uid last (the threaded-scan ordering).
+    import numpy as np
+
     n = tpu._split_ctx.n_pieces
-    news = [(n + 1, b" zz1x"), (n, b" zz0x")]
-    new_pieces = []
-    tpu._register_new_uids(news, new_pieces)
+    buf = b" zz1x zz0x"
+    news = (
+        np.array([n + 1, n], np.int32),
+        np.array([0, 5], np.int32),
+        np.array([5, 10], np.int32),
+    )
+    wave = tpu._register_new_uids_arrays(news, buf)
     assert len(tpu._uid_rows) >= n + 2
-    assert {r for r, _ in new_pieces} == {
-        tpu._uid_rows[n], tpu._uid_rows[n + 1]
+    rows, starts, ends, wbuf = wave
+    assert set(rows.tolist()) == {
+        int(tpu._uid_rows[n]), int(tpu._uid_rows[n + 1])
     }
+    assert wbuf is buf and list(starts) == [0, 5]
 
 
 def test_adaptive_wave_router_gates_on_probe(gpt2_vocab):

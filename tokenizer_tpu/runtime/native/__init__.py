@@ -22,6 +22,7 @@ __all__ = [
     "presplit",
     "bpe_encode",
     "bpe_encode_batch",
+    "bpe_encode_batch_spans",
     "SplitContext",
     "PATTERN_IDS",
 ]
@@ -188,7 +189,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tt_bpe_encode_batch.restype = ctypes.c_int64
         lib.tt_bpe_encode_batch.argtypes = [
             ctypes.c_void_p,  # blob
-            ctypes.c_void_p,  # offs
+            ctypes.c_void_p,  # starts
+            ctypes.c_void_p,  # ends
+            ctypes.c_void_p,  # out_offs
             ctypes.c_int64,  # n_pieces
             ctypes.c_void_p,  # whole_ids (nullable)
             ctypes.c_void_p,  # byte_to_id
@@ -201,7 +204,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_void_p,  # out_counts
         ]
-        if lib.tt_abi_version() != 6:
+        if lib.tt_abi_version() != 7:
             return None
         _LIB = lib
         return _LIB
@@ -390,10 +393,15 @@ class SplitContext:
         )
         if rc < 0:
             raise RuntimeError(f"tt_ctx_split_batch failed: {rc}")
-        news = [
-            (int(new_uid[j]), data[new_start[j] : new_end[j]])
-            for j in range(n_new.value)
-        ]
+        k = n_new.value
+        # First-seen pieces as ARRAYS of byte ranges into ``data`` (no
+        # per-piece bytes objects — a cold 8 MB corpus interns ~1e5
+        # pieces and the PyBytes churn dominated registration).
+        news = (
+            new_uid[:k].copy(),
+            new_start[:k].copy(),
+            new_end[:k].copy(),
+        )
         offsets = seg_start - base
         return piece_uid, offsets, seg_np, news
 
@@ -428,40 +436,48 @@ def bpe_encode(piece: bytes, table) -> np.ndarray:
     return out[:w]
 
 
-def bpe_encode_batch(
-    pieces,
+def bpe_encode_batch_spans(
+    buf,
+    starts: np.ndarray,
+    ends: np.ndarray,
     table,
     whole_ids: Optional[np.ndarray] = None,
     nthreads: int = 0,
 ):
-    """Batched exact merge of many pieces in ONE native call.
+    """Batched exact merge of scattered spans in ONE native call.
 
-    Returns ``(out, offs, counts)``: piece i's ids are
-    ``out[offs[i] : offs[i] + counts[i]]``.  ``whole_ids`` (int32,
-    -1 = no hit) short-circuits whole-piece encoder hits, preserving
-    the engine's order of operations (TikTokenizer.cs:261-268).
-    Per-thread merge scratch is reused across pieces — the per-call
-    allocation cost that made one-ctypes-call-per-piece ~100 us/piece.
+    Piece i is ``buf[starts[i]:ends[i]]``; returns
+    ``(out, out_offs, counts)`` with piece i's ids at
+    ``out[out_offs[i] : out_offs[i] + counts[i]]``.  ``whole_ids``
+    (int32, -1 = no hit) optionally short-circuits whole-piece encoder
+    hits; omitting it is exact whenever unreachable tokens were
+    filtered upstream (merging a reachable vocab token reproduces its
+    id).  Per-thread merge scratch is reused across pieces — the
+    per-call allocation cost that made one-ctypes-call-per-piece
+    ~100 us/piece.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native bpe unavailable")
     if nthreads <= 0:
         nthreads = min(os.cpu_count() or 1, 16)
-    n = len(pieces)
-    blob = b"".join(pieces)
-    offs = np.zeros(n + 1, dtype=np.int64)
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    out_offs = np.zeros(n + 1, dtype=np.int64)
     if n:
-        np.cumsum([len(p) for p in pieces], out=offs[1:])
-    out = np.empty(max(len(blob), 1), dtype=np.int32)
+        np.cumsum(ends - starts, out=out_offs[1:])
+    out = np.empty(max(int(out_offs[-1]), 1), dtype=np.int32)
     counts = np.zeros(max(n, 1), dtype=np.int32)
     wi_ptr = None
     if whole_ids is not None:
         whole_ids = np.ascontiguousarray(whole_ids, dtype=np.int32)
         wi_ptr = whole_ids.ctypes.data_as(ctypes.c_void_p)
     rc = lib.tt_bpe_encode_batch(
-        blob,
-        offs.ctypes.data_as(ctypes.c_void_p),
+        buf,
+        starts.ctypes.data_as(ctypes.c_void_p),
+        ends.ctypes.data_as(ctypes.c_void_p),
+        out_offs.ctypes.data_as(ctypes.c_void_p),
         n,
         wi_ptr,
         table.byte_to_id.ctypes.data_as(ctypes.c_void_p),
@@ -476,7 +492,26 @@ def bpe_encode_batch(
     )
     if rc < 0:
         raise RuntimeError(f"tt_bpe_encode_batch failed: {rc}")
-    return out, offs[:-1], counts[:n]
+    return out, out_offs[:-1], counts[:n]
+
+
+def bpe_encode_batch(
+    pieces,
+    table,
+    whole_ids: Optional[np.ndarray] = None,
+    nthreads: int = 0,
+):
+    """List-of-bytes convenience wrapper over
+    :func:`bpe_encode_batch_spans` (concatenates the pieces)."""
+    n = len(pieces)
+    blob = b"".join(pieces)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum([len(p) for p in pieces], out=offs[1:])
+    return bpe_encode_batch_spans(
+        blob, offs[:-1], offs[1:], table, whole_ids=whole_ids,
+        nthreads=nthreads,
+    )
 
 
 def gather_bytes(

@@ -244,7 +244,23 @@ class TpuTokenizer(TikTokenizer):
         out, offs, counts = self._native.bpe_encode_batch(
             as_bytes, self.table, whole_ids=whole
         )
-        rr = np.fromiter(row_ids, np.int64, count=n)
+        self._scatter_wave_rows(
+            np.fromiter(row_ids, np.int64, count=n), out, offs, counts
+        )
+
+    def _host_wave_resolve_spans(self, buf, starts, ends, rows_arr) -> None:
+        """Span-wave host resolve: no per-piece bytes objects at all.
+
+        Skipping the whole-piece dict probe is exact here: unreachable
+        tokens were filtered to the oracle during registration, and the
+        merge of any REACHABLE vocab token reproduces its id (the same
+        argument the device path rests on)."""
+        out, offs, counts = self._native.bpe_encode_batch_spans(
+            buf, starts, ends, self.table
+        )
+        self._scatter_wave_rows(rows_arr.astype(np.int64), out, offs, counts)
+
+    def _scatter_wave_rows(self, rr, out, offs, counts) -> None:
         small = counts <= _MAX_OUT
         if small.all():
             c = counts
@@ -451,6 +467,76 @@ class TpuTokenizer(TikTokenizer):
             [self._piece_rows[p] for p in new_pieces],
         )
 
+    def _route_wave_host(self, n_wave: int) -> bool:
+        """Adaptive single-device wave routing.
+
+        Small waves always take the host C++ merge (a device round trip
+        costs more); larger waves take the device unless (a) the channel
+        probe hasn't completed (stall immunity — _start_channel_probe)
+        or (b) the measured blocking cost per piece favors the host,
+        with an exploration wave every 32 host waves so a recovered
+        channel is re-discovered.  Mesh paths always return False.
+        """
+        if self._native is None:
+            self._ensure_device()
+            return False
+        if self._mesh_arg in ("auto", None):
+            # Device resolution (backend discovery, table h2d, first
+            # compile, probe merge + d2h) runs ONLY on the probe thread:
+            # with a stalled transport, even jax.local_devices() blocks
+            # for minutes, so the encode path must not call into jax
+            # until the channel has proven itself.
+            self._start_channel_probe()
+            if not self._dev_event.is_set() and self._grace_waits < 1:
+                # One short grace so healthy warm-cache environments
+                # take the device from the very first wave; further
+                # waves never wait (the exploration logic re-checks).
+                self._grace_waits += 1
+                self._dev_event.wait(0.5)
+        else:
+            self._ensure_device()  # explicit mesh
+        if self.mesh is not None and self._merge_fn is not None:
+            return False
+        return (
+            self._merge_fn is None
+            or n_wave <= _HOST_WAVE_MAX
+            or not self._dev_ready
+            or (
+                self._dev_pp is not None
+                and self._dev_pp > self._host_pp
+                and self._host_waves_since_dev < 32
+            )
+        )
+
+    def _note_host_wave(self, n_wave: int, dt: float) -> None:
+        if n_wave >= 64:  # don't let tiny waves skew the EMA
+            self._host_pp = 0.5 * self._host_pp + 0.5 * (dt / n_wave)
+        self._host_waves_since_dev += 1
+        self.stats.host_wave_pieces += n_wave
+
+    def _dispatch_wave(self, wave):
+        """Route and dispatch a span wave from _native_split_phase.
+
+        Returns a handle for :meth:`_finish_new_piece_rows` (device
+        route) or None (host route / empty wave).
+        """
+        if wave is None:
+            return None
+        import time
+
+        rows_arr, starts, ends, buf = wave
+        n_wave = len(rows_arr)
+        self.stats.unique_pieces += n_wave
+        if self._route_wave_host(n_wave):
+            t0 = time.perf_counter()
+            self._host_wave_resolve_spans(buf, starts, ends, rows_arr)
+            self._note_host_wave(n_wave, time.perf_counter() - t0)
+            return None
+        if self._native is not None and self.mesh is None:
+            self._host_waves_since_dev = 0
+        as_bytes = [buf[int(s) : int(e)] for s, e in zip(starts, ends)]
+        return self._dispatch_device(as_bytes, rows_arr.tolist())
+
     def _dispatch_new_piece_rows(self, as_bytes: List[bytes], row_ids: List[int]):
         """Pack unseen pieces and dispatch their device merges (async).
 
@@ -467,51 +553,18 @@ class TpuTokenizer(TikTokenizer):
 
         n_wave = len(as_bytes)
         self.stats.unique_pieces += n_wave
-        if self._native is not None and self._mesh_arg in ("auto", None):
-            # Device resolution (backend discovery, table h2d, first
-            # compile, probe merge + d2h) runs ONLY on the probe thread:
-            # with a stalled transport, even jax.local_devices() blocks
-            # for minutes, so the encode path must not call into jax
-            # until the channel has proven itself.
-            self._start_channel_probe()
-            if not self._dev_event.is_set() and self._grace_waits < 3:
-                # Short grace so healthy environments take the device
-                # from the very first wave.
-                self._grace_waits += 1
-                self._dev_event.wait(0.5)
-        else:
-            self._ensure_device()  # explicit mesh / no native fallback
-        if (
-            self.mesh is None or self._merge_fn is None
-        ) and self._native is not None:
-            # Adaptive routing: small waves always take the host C++
-            # merge (a device round trip costs more); larger waves take
-            # the device unless (a) the channel probe hasn't completed
-            # (stall immunity — see _start_channel_probe) or (b) the
-            # measured blocking cost per piece favors the host, with an
-            # exploration wave every 32 host waves so a recovered
-            # channel is re-discovered.
-            route_host = (
-                n_wave <= _HOST_WAVE_MAX
-                or not self._dev_ready
-                or (
-                    self._dev_pp is not None
-                    and self._dev_pp > self._host_pp
-                    and self._host_waves_since_dev < 32
-                )
-            )
-            if route_host:
-                t0 = time.perf_counter()
-                self._host_wave_resolve(as_bytes, row_ids)
-                dt = time.perf_counter() - t0
-                if n_wave >= 64:  # don't let tiny waves skew the EMA
-                    self._host_pp = 0.5 * self._host_pp + 0.5 * (
-                        dt / n_wave
-                    )
-                self._host_waves_since_dev += 1
-                self.stats.host_wave_pieces += n_wave
-                return None
+        if self._route_wave_host(n_wave):
+            t0 = time.perf_counter()
+            self._host_wave_resolve(as_bytes, row_ids)
+            self._note_host_wave(n_wave, time.perf_counter() - t0)
+            return None
+        if self._native is not None and self.mesh is None:
             self._host_waves_since_dev = 0
+        return self._dispatch_device(as_bytes, row_ids)
+
+    def _dispatch_device(self, as_bytes: List[bytes], row_ids):
+        import time
+
         t_dispatch0 = time.perf_counter()
         # Device route: resolution already happened (probe thread or the
         # eager branch above), so this is a cheap field read.
@@ -756,68 +809,57 @@ class TpuTokenizer(TikTokenizer):
                 return (bk, bs, btid), bk
             pos = bk + 1
 
-    def _register_new_uids(self, news, new_pieces: List[bytes]) -> None:
-        """Assign rows to first-seen uids; route force-host pieces."""
-        force_host = self._force_host_bytes
+    def _register_new_uids_arrays(self, news, buf: bytes):
+        """Assign rows to first-seen uids (vectorized over the batch).
+
+        ``news`` is the (uid, start, end) array triple from
+        ``split_batch``; byte ranges index into ``buf``.  Returns the
+        wave ``(rows, starts, ends, buf)`` still needing a merge, or
+        None.  No per-piece Python: a cold 8 MB corpus registers ~1e5
+        pieces, and bytes-object churn plus per-piece loops dominated
+        the old registration path.
+        """
+        uids, starts, ends = news
+        n = len(uids)
         # news concatenates per-THREAD lists from the parallel batch
         # scan, so it is not globally uid-sorted — grow to the true max.
-        mx = max(u for u, _ in news) if news else -1
-        if news and mx >= len(self._uid_rows):
+        mx = int(uids.max())
+        if mx >= len(self._uid_rows):
             cap = len(self._uid_rows)
             while cap <= mx:
                 cap *= 2
             grown = np.empty(cap, dtype=np.int32)
             grown[: len(self._uid_rows)] = self._uid_rows
             self._uid_rows = grown
-        for uid, pb in news:
-            r = self._reserve_rows(1)
-            self._uid_rows[uid] = r
-            self._row_u16[r] = self._u16_units_of_bytes(pb)
-            if force_host and pb in force_host:
-                self._store_row(r, self._oracle_piece(pb))
-                self.stats.host_fallback_pieces += 1
-            else:
-                new_pieces.append((r, pb))
-
-    def _split_rows_native(
-        self, data: bytes, allowed_b, new_pieces: List[bytes]
-    ) -> np.ndarray:
-        """Native split + persistent interning -> row-index array."""
-        if self._split_ctx is None:
-            self._split_ctx = self._native.SplitContext(self._native_pid)
-        ctx = self._split_ctx
-        chunks: List[np.ndarray] = []
-        n_pieces = 0
-        start = 0
-        n = len(data)
-        sp_memo: dict = {}
-        while True:
-            if allowed_b:
-                m, end = self._find_next_special_bytes(
-                    data, start, allowed_b, sp_memo
-                )
-            else:
-                m, end = None, n
-            if end > start:
-                uids, news = ctx.split(data, start, end)
-                if news:
-                    self._register_new_uids(news, new_pieces)
-                chunks.append(self._uid_rows[uids])
-                n_pieces += len(uids)
-            if m is None:
-                break
-            _, sb, tid = m
-            chunks.append(
-                np.array([self._special_row(tid)], dtype=np.int32)
-            )
-            self.stats.specials += 1
-            start = m[0] + len(sb)
-            if start >= n:
-                break
-        self.stats.pieces += n_pieces
-        if not chunks:
-            return np.empty(0, np.int32)
-        return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        r0 = self._reserve_rows(n)
+        rows = np.arange(r0, r0 + n, dtype=np.int32)
+        self._uid_rows[uids] = rows
+        # UTF-16 units per piece: bytes - continuations + astral leads,
+        # via two prefix sums over the shared buffer.
+        b = np.frombuffer(buf, np.uint8)
+        ccum = np.zeros(len(b) + 1, np.int32)
+        ccum[1:] = np.cumsum((b & 0xC0) == 0x80, dtype=np.int32)
+        acum = np.zeros(len(b) + 1, np.int32)
+        acum[1:] = np.cumsum(b >= 0xF0, dtype=np.int32)
+        s64 = starts.astype(np.int64)
+        e64 = ends.astype(np.int64)
+        self._row_u16[rows] = (
+            (e64 - s64) - (ccum[e64] - ccum[s64]) + (acum[e64] - acum[s64])
+        ).astype(np.int32)
+        if self._force_host_bytes:
+            # Rare adversarial vocabs only: per-piece oracle routing.
+            keep = np.ones(n, bool)
+            for j in range(n):
+                pb = buf[int(starts[j]) : int(ends[j])]
+                if pb in self._force_host_bytes:
+                    self._store_row(int(rows[j]), self._oracle_piece(pb))
+                    self.stats.host_fallback_pieces += 1
+                    keep[j] = False
+            if not keep.all():
+                rows, starts, ends = rows[keep], starts[keep], ends[keep]
+            if len(rows) == 0:
+                return None
+        return (rows, starts, ends, buf)
 
     def _assemble_overflow_segment(
         self, uid_buf, seg_offs, seg_counts, k: int
@@ -895,18 +937,18 @@ class TpuTokenizer(TikTokenizer):
                 text_items.append(items)
             off += n
 
-        new_pieces: List[Tuple[int, bytes]] = []
+        wave = None
         if seg_starts:
             uid_buf, seg_offs, seg_counts, news = self._split_ctx.split_batch(
                 buf, np.asarray(seg_starts), np.asarray(seg_ends)
             )
-            if news:
-                self._register_new_uids(news, new_pieces)
+            if len(news[0]):
+                wave = self._register_new_uids_arrays(news, buf)
             self.stats.pieces += int(seg_counts.sum())
         else:
             uid_buf = seg_offs = seg_counts = None
         gen = self._split_ctx.generation
-        return (text_items, uid_buf, seg_offs, seg_counts, new_pieces, gen)
+        return (text_items, uid_buf, seg_offs, seg_counts, wave, gen)
 
     def _native_assemble_phase(self, state) -> List[np.ndarray]:
         """Assemble token streams once the batch's rows are resolved.
@@ -963,10 +1005,7 @@ class TpuTokenizer(TikTokenizer):
     ) -> List[np.ndarray]:
         """Batched native path: split -> device merge -> assemble."""
         state = self._native_split_phase(texts, allowed)
-        new_pieces = state[4]
-        self._resolve_new_piece_rows(
-            [pb for _, pb in new_pieces], [r for r, _ in new_pieces]
-        )
+        self._finish_new_piece_rows(self._dispatch_wave(state[4]))
         return self._native_assemble_phase(state)
 
     # -- bulk encode --------------------------------------------------------
@@ -1040,10 +1079,7 @@ class TpuTokenizer(TikTokenizer):
         prev = None  # (state, merge handle)
         for texts in batches:
             state = self._native_split_phase(texts, allowed)
-            new_pieces = state[4]
-            handle = self._dispatch_new_piece_rows(
-                [pb for _, pb in new_pieces], [r for r, _ in new_pieces]
-            )
+            handle = self._dispatch_wave(state[4])
             if prev is not None:
                 pstate, phandle = prev
                 prev = None
@@ -1092,10 +1128,7 @@ class TpuTokenizer(TikTokenizer):
         bookkeeping then runs over the row matrix with no re-encode.
         """
         state = self._native_split_phase(texts, allowed)
-        new_pieces = state[4]
-        self._resolve_new_piece_rows(
-            [pb for _, pb in new_pieces], [r for r, _ in new_pieces]
-        )
+        self._finish_new_piece_rows(self._dispatch_wave(state[4]))
         return self._native_assemble_phase(state), state
 
     def encode_trim_suffix_batch(
