@@ -835,17 +835,22 @@ class TpuTokenizer(TikTokenizer):
         rows = np.arange(r0, r0 + n, dtype=np.int32)
         self._uid_rows[uids] = rows
         # UTF-16 units per piece: bytes - continuations + astral leads,
-        # via two prefix sums over the shared buffer.
+        # computed over the news spans ONLY (the spans are a small
+        # fraction of the batch buffer; full-buffer prefix sums were
+        # the cold path's single largest line).
         b = np.frombuffer(buf, np.uint8)
-        ccum = np.zeros(len(b) + 1, np.int32)
-        ccum[1:] = np.cumsum((b & 0xC0) == 0x80, dtype=np.int32)
-        acum = np.zeros(len(b) + 1, np.int32)
-        acum[1:] = np.cumsum(b >= 0xF0, dtype=np.int32)
         s64 = starts.astype(np.int64)
-        e64 = ends.astype(np.int64)
-        self._row_u16[rows] = (
-            (e64 - s64) - (ccum[e64] - ccum[s64]) + (acum[e64] - acum[s64])
-        ).astype(np.int32)
+        lens = ends.astype(np.int64) - s64
+        tot = int(lens.sum())
+        bounds = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=bounds[1:])
+        idx = np.repeat(s64 - bounds, lens) + np.arange(tot, dtype=np.int64)
+        vb = b[idx]
+        cont = np.add.reduceat(
+            ((vb & 0xC0) == 0x80).astype(np.int32), bounds
+        )
+        astral = np.add.reduceat((vb >= 0xF0).astype(np.int32), bounds)
+        self._row_u16[rows] = (lens - cont + astral).astype(np.int32)
         if self._force_host_bytes:
             # Rare adversarial vocabs only: per-piece oracle routing.
             keep = np.ones(n, bool)
