@@ -15,23 +15,39 @@ then resolve the lane with the supported vreg-local
 test_exp_pallas_bigtable.py runs it in interpret mode).
 
 Status: BIT-EXACT vs the host PairTable oracle (interpret mode,
-tests/test_exp_pallas_bigtable.py).  On-chip A/B vs the XLA native
-gather: run ``python tools/exp_pallas_bigtable.py`` on a TPU — numbers
-land in the tool's JSON output (the CI tunnel was stalled when this
-landed; see the committed record below if one has been captured).
+tests/test_exp_pallas_bigtable.py).
+
+MEASURED on-chip record (TPU v5e via the CI tunnel, jax 0.9.0,
+2026-08-20, block_until_ready timing, gpt2 table = 2^19 slots /
+9 probe rounds; rerun via tools/exp_pallas_bigtable.py):
+
+  [2, 128] tile (256 probes):
+    XLA native gather lookup:     0.064 ms
+    Pallas one-hot (int8 planes): 0.101 ms   (1.6x; both dispatch-bound)
+  [16, 128] tile (2048 probes, one merge wave's worth):
+    XLA native gather lookup:     ~0.07 ms
+    Pallas one-hot:               compile DID NOT COMPLETE within a
+    500 s budget — the statically-unrolled 9 rounds x 16 sublane rows
+    x 4 byte planes = 576 MXU calls blow up Mosaic compile time; the
+    f32-halves variant of the same kernel OOMs scoped VMEM instead
+    (measured 23.4 MB vs the 16 MB budget; the int8-plane form fits at
+    16.11 MB only with an explicit vmem_limit_bytes raise).
 
 Arithmetic expectation, independent of measurement: each probe round
-streams a [128, n_rows] f32 one-hot per 128 probes through the MXU —
-per probe that touches n_rows*2halves*4B of one-hot plus the whole
-[n_rows, 384] f32 table per 128 probes, where the gather touches ~3*4B
-of actually-needed bytes.  The MXU formulation pays a bandwidth/FLOP
-overfetch of order n_rows (4096 for gpt2) BY CONSTRUCTION, serialized
-over max_probes rounds; no tiling removes that factor — it is the cost
-of expressing sparse addressing as dense linear algebra.
+streams a [128, n_rows] int8 one-hot per 128 probes through the MXU
+plus the whole [4, n_rows, 384] byte-plane table, where the gather
+touches ~3*4B of actually-needed bytes per probe.  The MXU formulation
+pays a bandwidth/FLOP overfetch of order n_rows (4096 for gpt2) BY
+CONSTRUCTION, serialized over max_probes rounds; no tiling removes
+that factor — it is the cost of expressing sparse addressing as dense
+linear algebra.
 
 Conclusion: the XLA kernel (ops/merge_jax.py), whose large-table
 dynamic gather XLA:TPU lowers natively, stays the production merge
-path for real vocabularies.  The Pallas path serves vreg-sized tables
+path for real vocabularies — the one-hot formulation is correct and
+close at toy probe counts but cannot reach wave scale (compile blowup
+/ VMEM), and its bandwidth overfetch grows with table size by
+construction.  The Pallas path serves vreg-sized tables
 (ops/merge_pallas.py) and takes the production slot if/when Mosaic
 exposes a wider dynamic gather.  This module is retained as the
 experiment record (not wired into production).
@@ -60,18 +76,26 @@ LANES = 128
 
 
 def bigtable_device_table(table: PairTable) -> np.ndarray:
-    """Pack (key_left, key_right, values) as [n_rows, 3 * 128] int32.
+    """Pack (key_left, key_right, values) as [4, n_rows, 3*128] INT8.
 
     Row r holds slots [r*128, (r+1)*128): kl in lanes 0-127, kr in
-    128-255, vv in 256-383 — one one-hot matmul fetches all three
-    arrays of a slot's row at once.
+    128-255, vv in 256-383 — one one-hot matmul per byte plane fetches
+    all three arrays of a slot's row at once.  int32 entries are split
+    into four int8 byte planes because the selection must ride the MXU
+    EXACTLY and within VMEM: f32 halves held any 16-bit value but cost
+    2x4B per entry and blew the 16 MB VMEM budget at gpt2 scale
+    (measured: 23.4 MB scoped-vmem OOM); int8 planes cost 4B total and
+    int8 matmul accumulates exactly into int32.
     """
     n_rows = table.n_slots // LANES
     assert n_rows * LANES == table.n_slots
-    out = np.empty((n_rows, 3 * LANES), dtype=np.int32)
-    out[:, 0 * LANES : 1 * LANES] = table.key_left.reshape(n_rows, LANES)
-    out[:, 1 * LANES : 2 * LANES] = table.key_right.reshape(n_rows, LANES)
-    out[:, 2 * LANES : 3 * LANES] = table.values.reshape(n_rows, LANES)
+    t32 = np.empty((n_rows, 3 * LANES), dtype=np.int32)
+    t32[:, 0 * LANES : 1 * LANES] = table.key_left.reshape(n_rows, LANES)
+    t32[:, 1 * LANES : 2 * LANES] = table.key_right.reshape(n_rows, LANES)
+    t32[:, 2 * LANES : 3 * LANES] = table.values.reshape(n_rows, LANES)
+    out = np.empty((4, n_rows, 3 * LANES), dtype=np.int8)
+    for k in range(4):
+        out[k] = ((t32 >> (8 * k)) & 0xFF).astype(np.uint8).view(np.int8)
     return out
 
 
@@ -99,10 +123,10 @@ def _onehot_lookup_kernel(
     — the MXU is the dynamic row-address engine — then the supported
     vreg-local lane gather inside the fetched rows.
 
-    Exactness through the matmul: f32 holds integers < 2^24 exactly,
-    but table entries are arbitrary int32 (keys include -1, values up
-    to MAX_RANK), so each entry rides the MXU as lo16/hi16 halves and
-    is reassembled bitwise after the selection.
+    Exactness through the matmul: table entries are arbitrary int32
+    (keys include -1, values up to MAX_RANK), carried as four int8 byte
+    planes — a 0/1 one-hot int8 matmul accumulates the selected byte
+    exactly into int32, and the planes reassemble bitwise.
     """
     left = left_ref[:]
     right = right_ref[:]
@@ -110,10 +134,7 @@ def _onehot_lookup_kernel(
     valid, slot = _slots_of(left, right, slot_bits)
     mask = jnp.int32((1 << slot_bits) - 1)
 
-    lo = (tab_ref[:] & jnp.int32(0xFFFF)).astype(jnp.float32)
-    hi = ((tab_ref[:] >> jnp.int32(16)) & jnp.int32(0xFFFF)).astype(
-        jnp.float32
-    )
+    tab8 = tab_ref[:]  # [4, n_rows, 384] int8 byte planes
 
     out = jnp.full((S, B), MAX_RANK, dtype=jnp.int32)
     unresolved = valid
@@ -125,10 +146,18 @@ def _onehot_lookup_kernel(
             oh = (
                 jax.lax.broadcasted_iota(jnp.int32, (B, n_rows), 1)
                 == row[s][:, None]
-            ).astype(jnp.float32)
-            flo = jnp.dot(oh, lo, preferred_element_type=jnp.float32)
-            fhi = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
-            f = flo.astype(jnp.int32) | (fhi.astype(jnp.int32) << 16)
+            ).astype(jnp.int8)
+            planes = [
+                jnp.dot(oh, tab8[k], preferred_element_type=jnp.int32)
+                & jnp.int32(0xFF)
+                for k in range(4)
+            ]
+            f = (
+                planes[0]
+                | (planes[1] << 8)
+                | (planes[2] << 16)
+                | (planes[3] << 24)
+            )
             ln = jnp.broadcast_to(lane[s][:, None], (B, LANES))
             kls.append(jnp.take_along_axis(f[:, 0:128], ln, axis=1)[:, 0])
             krs.append(
@@ -161,7 +190,7 @@ def lookup_onehot_pallas(
 ) -> jnp.ndarray:
     """[S, 128] pair probe via the one-hot-matmul Pallas kernel."""
     S, B = left.shape
-    n_rows = tab2d.shape[0]
+    n_rows = tab2d.shape[1]  # tab2d: [4 byte planes, n_rows, 384]
     kernel = partial(
         _onehot_lookup_kernel,
         slot_bits=slot_bits,
@@ -177,6 +206,12 @@ def lookup_onehot_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # The byte-plane table + unrolled probe intermediates sit just
+        # over the 16 MB default scoped budget (measured 16.11M);
+        # raising the cap trades scheduling freedom for fitting.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(tab2d, left, right)
 

@@ -77,13 +77,19 @@ def main():
     l_d, r_d = jnp.asarray(left), jnp.asarray(right)
 
     kw = dict(slot_bits=table.slot_bits, max_probes=table.max_probes)
-    got_x = np.asarray(lookup_xla(arrays, l_d, r_d, **kw))
-    assert (got_x == expect).all(), "XLA lookup mismatch"
-    got_p = np.asarray(
-        lookup_onehot_pallas(tab2d, l_d, r_d, interpret=interpret, **kw)
-    )
-    assert (got_p == expect).all(), "Pallas one-hot lookup mismatch"
-    print("bit-exact: ok", file=sys.stderr)
+    if "--no-verify" in sys.argv:
+        # Timing-only mode for transports whose d2h stalls (correctness
+        # is covered by the interpret-mode run / test suite; this mode
+        # uses block_until_ready only, which such transports serve).
+        print("verify skipped (--no-verify)", file=sys.stderr)
+    else:
+        got_x = np.asarray(lookup_xla(arrays, l_d, r_d, **kw))
+        assert (got_x == expect).all(), "XLA lookup mismatch"
+        got_p = np.asarray(
+            lookup_onehot_pallas(tab2d, l_d, r_d, interpret=interpret, **kw)
+        )
+        assert (got_p == expect).all(), "Pallas one-hot lookup mismatch"
+        print("bit-exact: ok", file=sys.stderr)
 
     def bench(fn, *args, **kws):
         jax.block_until_ready(fn(*args, **kws))
