@@ -18,10 +18,19 @@ import sys
 import time
 
 
-def _cmd_tokenize(args) -> int:
-    from .builder import create_by_model_name
+def _make_tokenizer(name: str, use_tpu: bool = False):
+    """Model name first (the reference CLI's contract), then encoder
+    name as a convenience (so `cl100k_synth`/`gpt2` work directly)."""
+    from .builder import create_by_encoder_name, create_by_model_name
 
-    tokenizer = create_by_model_name(args.model)
+    try:
+        return create_by_model_name(name, use_tpu=use_tpu)
+    except ValueError:
+        return create_by_encoder_name(name, use_tpu=use_tpu)
+
+
+def _cmd_tokenize(args) -> int:
+    tokenizer = _make_tokenizer(args.model)
     ids = tokenizer.encode(args.text, allowed_special="all")
     # Program.cs:19-27: print "<id> : <decoded piece>" per token, then the
     # round-trip decode of the whole sequence.
@@ -32,9 +41,7 @@ def _cmd_tokenize(args) -> int:
 
 
 def _cmd_encode_file(args) -> int:
-    from .builder import create_by_model_name
-
-    tokenizer = create_by_model_name(args.model, use_tpu=args.tpu)
+    tokenizer = _make_tokenizer(args.model, use_tpu=args.tpu)
     data = open(args.path, "r", encoding="utf-8", errors="replace").read()
     t0 = time.perf_counter()
     if args.tpu:
