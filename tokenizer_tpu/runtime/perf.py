@@ -54,9 +54,12 @@ def run_folder_benchmark(
     ``trim_suffix_budget`` switches the measured op to encodeTrimSuffix
     like the reference harness's second mode (benchmark-folder.js:30-35).
     """
-    from ..builder import create_by_model_name
+    from ..builder import create_by_encoder_name, create_by_model_name
 
-    tokenizer = create_by_model_name(model, use_tpu=use_tpu)
+    try:
+        tokenizer = create_by_model_name(model, use_tpu=use_tpu)
+    except ValueError:  # encoder names work too (cl100k_synth, gpt2)
+        tokenizer = create_by_encoder_name(model, use_tpu=use_tpu)
     docs = read_folder_corpus(folder)
     total_size = sum(len(d.encode("utf-8")) for d in docs)
     if total_size == 0:
