@@ -470,7 +470,9 @@ def measure():
 
     docs = gen_corpus(target_mb, seed=7)
     nbytes = _nbytes(docs)
-    cycles = 1 if fast else 2
+    # Steady is min-of-cycles; this host shows hypervisor steal spikes
+    # up to ~74% (vmstat), so more cycles = better spike rejection.
+    cycles = 3 if fast else 5
 
     # PRIMARY: the north-star shape — REGEX_PATTERN_2 + real cl100k
     # special table + a 100,256-rank pair table (BASELINE.json metric:
