@@ -333,3 +333,33 @@ def test_adaptive_wave_router_gates_on_probe(gpt2_vocab):
     assert tok.stats.device_pieces > 0
     assert tok._dev_pp is not None  # EMA fed by the measured wave
 
+
+
+def test_adaptive_router_explores_after_host_streak(gpt2_vocab):
+    """With the device measured slower than the host, waves route host;
+    after 32 host waves one exploration wave re-measures the device."""
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    if tok._native is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    tok._ensure_device()
+    tok._dev_ready = True
+    tok._dev_pp = 1.0  # device measured terrible
+    tok._host_pp = 1e-6
+    big = 2048  # above the static host-wave floor
+    assert tok._route_wave_host(big) is True
+    tok._host_waves_since_dev = 31
+    assert tok._route_wave_host(big) is True
+    tok._host_waves_since_dev = 32
+    assert tok._route_wave_host(big) is False  # exploration wave
+    # A healthy device wins outright.
+    tok._dev_pp = 1e-9
+    tok._host_waves_since_dev = 0
+    assert tok._route_wave_host(big) is False
+    # Small waves always take the host.
+    assert tok._route_wave_host(8) is True

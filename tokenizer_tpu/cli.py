@@ -83,12 +83,11 @@ def _cmd_corpus(args) -> int:
     """
     import json
 
-    from .builder import create_by_model_name
     from .parallel import multihost
     from .runtime.pipeline import encode_corpus, iter_corpus_files
 
     multihost.initialize()
-    tokenizer = create_by_model_name(args.model, use_tpu=not args.no_tpu)
+    tokenizer = _make_tokenizer(args.model, use_tpu=not args.no_tpu)
     progress = encode_corpus(
         iter_corpus_files(args.paths),
         tokenizer,
