@@ -78,3 +78,108 @@ def test_two_process_all_sum(tmp_path):
                 p.kill()
     # 10*(0+1)+10*(1+1)=30 ; (3+0)+(3+1)=7 — identical on both ranks.
     assert results == {0: [30.0, 7.0], 1: [30.0, 7.0]}
+
+
+_ENCODE_WORKER = r"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, "@REPO@")
+from tokenizer_tpu.parallel import multihost
+
+pid = int(sys.argv[1])
+out_dir = sys.argv[3]
+multihost.initialize(
+    coordinator_address=sys.argv[2], num_processes=2, process_id=pid
+)
+from tokenizer_tpu import create_by_encoder_name
+from tokenizer_tpu.runtime.pipeline import encode_corpus
+
+docs = [f"doc {i}: the quick brown fox {i*13} jumps ⭐ {'好'*(i%7)}" for i in range(40)]
+tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+progress = encode_corpus(
+    iter(docs), tok, out_dir, chunk_bytes=400, shard=pid, n_shards=2
+)
+totals = multihost.all_sum(
+    [progress.docs, progress.bytes_in, progress.tokens_out]
+)
+print("RESULT " + json.dumps({
+    "pid": pid,
+    "docs": progress.docs,
+    "tokens": progress.tokens_out,
+    "global": list(map(float, totals)),
+}), flush=True)
+# Skip interpreter teardown: the device channel-probe daemon thread may
+# be mid-backend-init, and tearing jax down under it can segfault.
+os._exit(0)
+"""
+
+
+def test_two_process_distributed_encode(tmp_path):
+    """The full multi-host contract end-to-end: two REAL processes in
+    one jax.distributed job each encode their corpus shard through the
+    production pipeline, psum/allgather their counters, and the merged
+    shard outputs reconstruct the host-oracle encoding of every doc."""
+    import glob
+
+    import numpy as np
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    worker = _ENCODE_WORKER.replace("@REPO@", str(REPO))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(pid), coord, str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+            cwd=str(REPO),
+        )
+        for pid in (0, 1)
+    ]
+    results = {}
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    rec = json.loads(line[len("RESULT ") :])
+                    results[rec["pid"]] = rec
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert set(results) == {0, 1}
+    # Cross-process counter sums agree on both ranks.
+    assert results[0]["global"] == results[1]["global"]
+    assert results[0]["docs"] + results[1]["docs"] == 40
+
+    # Merge shard outputs back into document order and compare with the
+    # host oracle (shard k holds docs k, k+2, k+4, ... — stable indices).
+    from tokenizer_tpu import create_by_encoder_name
+
+    docs = [
+        f"doc {i}: the quick brown fox {i*13} jumps ⭐ {'好'*(i%7)}"
+        for i in range(40)
+    ]
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    per_shard = {0: [], 1: []}
+    for shard in (0, 1):
+        for f in sorted(
+            glob.glob(str(tmp_path / f"tokens_s{shard:05d}_c*.npz"))
+        ):
+            z = np.load(f)
+            ids, offs = z["ids"], z["offsets"]
+            for k in range(len(offs) - 1):
+                per_shard[shard].append(ids[offs[k] : offs[k + 1]])
+    merged = {}
+    for shard in (0, 1):
+        for j, ids in enumerate(per_shard[shard]):
+            merged[shard + 2 * j] = ids
+    assert len(merged) == 40
+    for i, d in enumerate(docs):
+        assert list(merged[i]) == host.encode(d), i

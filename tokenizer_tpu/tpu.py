@@ -58,6 +58,11 @@ _INIT_ROWS = 4096
 #: touches the device, exactly like the reference's warm LRU.
 _HOST_WAVE_MAX = 1024
 
+#: channel-probe completion events drained (bounded) at interpreter
+#: exit — see _start_channel_probe.
+_PROBE_EVENTS: list = []
+_PROBE_ATEXIT = False
+
 
 @dataclass
 class TpuStats:
@@ -419,6 +424,20 @@ class TpuTokenizer(TikTokenizer):
             self._dev_event.set()
             return
         import threading
+
+        # Interpreter teardown while a daemon thread sits inside jax
+        # C++ (backend init / a stalled transfer) can segfault; drain
+        # briefly at exit so the COMMON case (probe finishes in ms)
+        # exits clean.  A probe stalled for minutes cannot be joined —
+        # long-running tools should os._exit after their final output
+        # (bench.py does).
+        global _PROBE_ATEXIT
+        if not _PROBE_ATEXIT:
+            _PROBE_ATEXIT = True
+            import atexit
+
+            atexit.register(lambda: [e.wait(2.0) for e in _PROBE_EVENTS])
+        _PROBE_EVENTS.append(self._dev_event)
 
         def probe():
             try:
