@@ -322,29 +322,48 @@ def pallas_ab():
     }
 
 
-def overlap_ab(docs, chunk_docs: int = 128):
+def overlap_ab(docs, chunk_docs: int = 128, rounds: int = 3):
     """A/B: synchronous per-chunk encode_batch vs the pipelined stream.
 
-    Two fresh tokenizers (so both runs are equally cold) encode the
-    same chunked corpus; the pipelined run overlaps host split of chunk
-    k+1 with the device merging chunk k (VERDICT.md round-1 item 5).
+    Per round, two fresh tokenizers (so both arms are equally cold)
+    encode the same chunked corpus; the pipelined arm overlaps host
+    split of chunk k+1 with the device merging chunk k (VERDICT.md
+    round-1 item 5).  Min over rounds rejects this host's hypervisor-
+    steal spikes (measured up to ~74%), which otherwise dwarf the
+    effect under test.
     """
     from tokenizer_tpu import create_by_encoder_name
 
     chunks = [docs[i : i + chunk_docs] for i in range(0, len(docs), chunk_docs)]
-    tok_a = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
-    tok_a.encode_batch(gen_corpus(0.2, seed=321))  # compile warmup
-    t0 = time.perf_counter()
-    for c in chunks:
-        tok_a.encode_batch(c)
-    sync_s = time.perf_counter() - t0
 
-    tok_b = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
-    tok_b.encode_batch(gen_corpus(0.2, seed=321))
-    t0 = time.perf_counter()
-    for _ in tok_b.encode_batch_stream(chunks):
-        pass
-    pipe_s = time.perf_counter() - t0
+    def run_sync():
+        tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+        tok.encode_batch(gen_corpus(0.2, seed=321))  # compile warmup
+        t0 = time.perf_counter()
+        for c in chunks:
+            tok.encode_batch(c)
+        return time.perf_counter() - t0
+
+    def run_pipe():
+        tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+        tok.encode_batch(gen_corpus(0.2, seed=321))
+        t0 = time.perf_counter()
+        for _ in tok.encode_batch_stream(chunks):
+            pass
+        return time.perf_counter() - t0
+
+    sync_s = pipe_s = float("inf")
+    for r in range(rounds):
+        # Alternate arm order: process-global drift (e.g. probe threads
+        # stuck against a stalled transport accumulating per tokenizer)
+        # must not systematically tax one arm.
+        arms = (run_sync, run_pipe) if r % 2 == 0 else (run_pipe, run_sync)
+        for arm in arms:
+            dt = arm()
+            if arm is run_sync:
+                sync_s = min(sync_s, dt)
+            else:
+                pipe_s = min(pipe_s, dt)
     return {
         "sync_s": round(sync_s, 3),
         "pipelined_s": round(pipe_s, 3),
@@ -478,6 +497,10 @@ def measure():
     # special table + a 100,256-rank pair table (BASELINE.json metric:
     # "encode bytes/s/chip (cl100k_base)"; the vendored synthetic ranks
     # are cross-validated vs Rust tiktoken, tests/test_cl100k_synth.py).
+    def note(msg):
+        print(f"# phase {msg} t={time.perf_counter()-T0:.0f}s", file=sys.stderr, flush=True)
+
+    T0 = time.perf_counter()
     tok_c = create_by_encoder_name(
         "cl100k_synth", allow_fetch=False, use_tpu=True
     )
@@ -486,23 +509,38 @@ def measure():
     # (any d2h flips the tunnel into its ~24 ms/RPC mode — see the
     # transport caveat above — which would otherwise masquerade as
     # kernel time).
+    # EVERY kernel-only phase runs before ANY e2e phase: the first e2e
+    # starts the channel probe, whose d2h flips the tunnel into its
+    # ~24 ms/RPC mode — kernel numbers taken after that measure the
+    # transport, not the chip (observed: gpt2 kernel 0.39 MB/s vs
+    # 224 MB/s clean).
+    note("kernel cl100k")
     kern_c = kernel_bench(tok_c, docs)
+    note("kernel gpt2")
+    tok_g = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+    kern_g = None if fast else kernel_bench(tok_g, docs)
+    note("pallas_ab")
+    try:
+        pallas = {} if fast else pallas_ab()
+    except Exception as ex:  # Mosaic/remote-compile issues must not
+        pallas = {"error": str(ex)[:160]}  # void the headline metric
+
+    note("e2e cl100k")
     cl100k = _e2e_block(tok_c, docs, nbytes, cycles)
     cl100k["kernel_only"] = kern_c
     cl100k["stats_total"] = tok_c.stats.as_dict()
 
     # SECONDARY: gpt2/pattern-1 (round-1/2 continuity).
-    tok_g = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+    note("e2e gpt2")
     gpt2 = _e2e_block(tok_g, docs, nbytes, cycles)
-    if not fast:
-        gpt2["kernel_only"] = kernel_bench(tok_g, docs)
+    if kern_g is not None:
+        gpt2["kernel_only"] = kern_g
 
+    note("scaling")
     scaling = [] if fast else scaling_bench()
+    note("overlap")
     overlap = overlap_ab(gen_corpus(2.0 if fast else 4.0, seed=99))
-    try:
-        pallas = {} if fast else pallas_ab()
-    except Exception as ex:  # Mosaic/remote-compile issues must not
-        pallas = {"error": str(ex)[:160]}  # void the headline metric
+    note("done")
 
     steady = cl100k["e2e_steady_MBps"]
     detail = {
@@ -567,7 +605,7 @@ def main():
         if not lines:
             return None
         for l in p.stderr.splitlines():
-            if l.startswith("# detail"):
+            if l.startswith("# detail") or l.startswith("# phase"):
                 print(l, file=sys.stderr)
         return lines[-1]
 

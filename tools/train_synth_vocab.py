@@ -1,4 +1,7 @@
-"""Train the cl100k-SCALE synthetic BPE vocabulary (offline, deterministic).
+"""Train REAL-SCALE synthetic BPE vocabularies (offline, deterministic).
+
+Targets: cl100k_synth (pattern 2, 100,256 ranks) and o200k_synth
+(pattern 3, 199,998 ranks) — run with target names as arguments.
 
 The driver environment has zero egress, so the real cl100k_base rank
 file cannot be fetched (VERDICT.md r2 missing #1/#2).  The north-star
@@ -19,9 +22,9 @@ is the cross-oracle the conformance tests use
 synthetic cross-validation (tests/test_tiktoken_cross_p23.py:47-60)
 scaled up ~300x.
 
-Run:  python tools/train_synth_vocab.py  (writes
-vocab/cl100k_synth.tiktoken.gz; ~2-4 min).  The output is committed, so
-this only reruns when the recipe changes.
+Run:  python tools/train_synth_vocab.py [cl100k_synth] [o200k_synth]
+(writes vocab/<name>.tiktoken.gz; ~1-3 min each).  Outputs are
+committed, so this only reruns when the recipe changes.
 """
 
 from __future__ import annotations
@@ -39,28 +42,31 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-#: 256 byte tokens + this many merges = 100,256 ranks, matching
-#: cl100k_base's mergeable-rank count exactly.
-N_MERGES = 100_000
+#: Per-target settings: 256 byte tokens + N merges match the real
+#: encoding's mergeable-rank count (cl100k_base: 100,256 exactly;
+#: o200k-SCALE: 199,998 ranks, sitting just under the 199,999
+#: endoftext special so the real o200k special table rides on top
+#: collision-free).
+TARGETS = {
+    "cl100k_synth": dict(pattern="p2", n_merges=100_000, corpus_mb=48.0),
+    "o200k_synth": dict(pattern="p3", n_merges=199_742, corpus_mb=96.0),
+}
 #: Training corpus (out-of-sample from every bench seed).
-CORPUS_MB = 48.0
 CORPUS_SEED = 987_321
 #: Pieces are truncated to this many bytes for TRAINING ONLY (pair
 #: statistics, not encode correctness); cl100k's own longest mergeable
 #: token is far below this.
 MAX_WORD = 32
 
-OUT = REPO / "vocab" / "cl100k_synth.tiktoken.gz"
 
-
-def piece_counts():
-    """(unique piece bytes, frequency) via the native pattern-2 scanner."""
+def piece_counts(pattern: str, corpus_mb: float):
+    """(unique piece bytes, frequency) via the native scanner."""
     from bench import gen_corpus
     from tokenizer_tpu.runtime import native
 
-    docs = gen_corpus(CORPUS_MB, seed=CORPUS_SEED)
+    docs = gen_corpus(corpus_mb, seed=CORPUS_SEED)
     buf = "\n".join(docs).encode("utf-8")
-    ctx = native.SplitContext(native.PATTERN_IDS["p2"])
+    ctx = native.SplitContext(native.PATTERN_IDS[pattern])
     # One segment per ~4 MB window (threaded scan); windows split on
     # ASCII newlines so pieces never straddle a boundary incorrectly.
     bounds = [0]
@@ -77,7 +83,8 @@ def piece_counts():
         [uid_buf[int(o) : int(o) + int(c)] for o, c in zip(offs, counts)]
     )
     freq = np.bincount(uids, minlength=ctx.n_pieces)
-    by_uid = dict(news)
+    nu, ns, ne = news
+    by_uid = {int(u): buf[s:e] for u, s, e in zip(nu, ns, ne)}
     print(f"corpus {len(buf)/1e6:.1f} MB, {n} pieces, {len(by_uid)} unique")
     return [(by_uid[u], int(freq[u])) for u in range(ctx.n_pieces)]
 
@@ -200,16 +207,25 @@ def train(words, n_merges: int):
 
 
 def main():
-    words = piece_counts()
-    ranks = train(words, N_MERGES)
-    assert len(ranks) == 256 + N_MERGES
-    lines = []
-    for tok, rank in sorted(ranks.items(), key=lambda kv: kv[1]):
-        lines.append(base64.b64encode(tok) + b" " + str(rank).encode())
-    raw = b"\n".join(lines) + b"\n"
-    OUT.parent.mkdir(parents=True, exist_ok=True)
-    OUT.write_bytes(gzip.compress(raw, mtime=0))
-    print(f"wrote {OUT} ({OUT.stat().st_size/1e6:.2f} MB gz, {len(ranks)} ranks)")
+    targets = [a for a in sys.argv[1:] if not a.startswith("-")] or [
+        "cl100k_synth"
+    ]
+    for name in targets:
+        cfg = TARGETS[name]
+        words = piece_counts(cfg["pattern"], cfg["corpus_mb"])
+        ranks = train(words, cfg["n_merges"])
+        assert len(ranks) == 256 + cfg["n_merges"]
+        lines = []
+        for tok, rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+            lines.append(base64.b64encode(tok) + b" " + str(rank).encode())
+        raw = b"\n".join(lines) + b"\n"
+        out = REPO / "vocab" / f"{name}.tiktoken.gz"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_bytes(gzip.compress(raw, mtime=0))
+        print(
+            f"wrote {out} ({out.stat().st_size/1e6:.2f} MB gz, "
+            f"{len(ranks)} ranks)"
+        )
 
 
 if __name__ == "__main__":
