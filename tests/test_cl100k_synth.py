@@ -1,15 +1,17 @@
-"""Conformance of the cl100k-SCALE synthetic encoding (cl100k_synth).
+"""Conformance of the REAL-SCALE synthetic encodings.
 
-The real cl100k_base rank file is unreachable offline (zero egress), so
-the north-star shape — REGEX_PATTERN_2 + the real cl100k special table
-+ a 100,256-rank pair table — is exercised with the vendored
-offline-trained vocabulary (tools/train_synth_vocab.py,
-vocab/cl100k_synth.tiktoken.gz) and cross-validated against Rust
-tiktoken built from the SAME ranks: tiktoken's byte_pair_merge is the
-algorithm the reference transliterated (TikTokenizer.cs:14-18), so
-agreement here is end-to-end validation of the pattern-2 scanner, the
-special scanning, and the merge loop at real vocabulary scale, on the
-host engine AND the device batch path.
+The real cl100k_base/o200k_base rank files are unreachable offline
+(zero egress), so the north-star shapes — REGEX_PATTERN_2 + the real
+cl100k special table + a 100,256-rank pair table, and REGEX_PATTERN_3 +
+the real o200k special table + a 199,998-rank table — are exercised
+with the vendored offline-trained vocabularies
+(tools/train_synth_vocab.py, vocab/{cl100k,o200k}_synth.tiktoken.gz)
+and cross-validated against Rust tiktoken built from the SAME ranks:
+tiktoken's byte_pair_merge is the algorithm the reference
+transliterated (TikTokenizer.cs:14-18), so agreement here is
+end-to-end validation of the pattern-2/3 scanners, the special
+scanning, and the merge loop at real vocabulary scale, on the host
+engine AND the device batch path.
 """
 
 from __future__ import annotations
@@ -21,42 +23,46 @@ tiktoken = pytest.importorskip("tiktoken")
 
 from conftest import require_vocab
 
+_SHAPES = {
+    "cl100k_synth": ("cl100k_base", 100_256, 100_257),
+    "o200k_synth": ("o200k_base", 199_998, 199_999),
+}
 
-@pytest.fixture(scope="module")
-def synth():
-    require_vocab("cl100k_synth")
+
+@pytest.fixture(scope="module", params=["cl100k_synth", "o200k_synth"])
+def synth(request):
+    name = request.param
+    require_vocab(name)
     from tokenizer_tpu import create_by_encoder_name
     from tokenizer_tpu.models.registry import (
-        REGEX_PATTERN_2,
+        get_encoding_spec,
         get_special_tokens_by_encoder,
     )
     from tokenizer_tpu.vocab import load_encoding_ranks
 
-    ranks = load_encoding_ranks("cl100k_synth", allow_fetch=False)
-    specials = get_special_tokens_by_encoder("cl100k_base")
+    real_name, _, _ = _SHAPES[name]
+    spec = get_encoding_spec(name)
+    ranks = load_encoding_ranks(name, allow_fetch=False)
+    specials = get_special_tokens_by_encoder(real_name)
     rust = tiktoken.Encoding(
-        name="cl100k_synth",
-        pat_str=REGEX_PATTERN_2,
+        name=name,
+        pat_str=spec.pattern,
         mergeable_ranks=ranks,
         special_tokens=dict(specials),
     )
-    host = create_by_encoder_name(
-        "cl100k_synth", allow_fetch=False, use_tpu=False
-    )
-    tpu = create_by_encoder_name(
-        "cl100k_synth", allow_fetch=False, use_tpu=True
-    )
-    return host, tpu, rust
+    host = create_by_encoder_name(name, allow_fetch=False, use_tpu=False)
+    tpu = create_by_encoder_name(name, allow_fetch=False, use_tpu=True)
+    return name, host, tpu, rust
 
 
 def test_vocab_shape(synth):
-    host, _tpu, _rust = synth
-    # cl100k_base's exact mergeable-rank count; dense ids 0..100255.
-    assert len(host.encoder) == 100_256
-    assert sorted(host.decoder) == list(range(100_256))
-    # The real cl100k special table rides on top (registry values).
-    assert host.special_tokens_encoder["<|endoftext|>"] == 100257
-    assert host.special_tokens_encoder["<|endofprompt|>"] == 100276
+    name, host, _tpu, _rust = synth
+    _real, n_ranks, eot = _SHAPES[name]
+    # Real-encoding mergeable-rank counts; dense ids 0..n-1.
+    assert len(host.encoder) == n_ranks
+    assert sorted(host.decoder) == list(range(n_ranks))
+    # The real special table rides on top (registry values).
+    assert host.special_tokens_encoder["<|endoftext|>"] == eot
 
 
 CORPUS = [
@@ -80,7 +86,7 @@ CORPUS = [
 
 
 def test_host_matches_rust_tiktoken_micro(synth):
-    host, _tpu, rust = synth
+    _name, host, _tpu, rust = synth
     for text in CORPUS:
         expect = rust.encode(text, disallowed_special=())
         assert host.encode(text) == expect, repr(text)
@@ -95,7 +101,7 @@ def test_host_matches_rust_tiktoken_corpus(synth):
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bench import gen_corpus
 
-    host, _tpu, rust = synth
+    _name, host, _tpu, rust = synth
     docs = gen_corpus(1.0, seed=20260820)
     for d in docs:
         assert host.encode(d) == rust.encode(d, disallowed_special=()), (
@@ -110,7 +116,7 @@ def test_device_batch_matches_rust(synth):
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bench import gen_corpus
 
-    _host, tpu, rust = synth
+    _name, _host, tpu, rust = synth
     docs = gen_corpus(0.5, seed=31337) + CORPUS
     out = tpu.encode_batch(docs)
     for d, ids in zip(docs, out):
@@ -126,13 +132,14 @@ def test_device_batch_matches_rust(synth):
 
 
 def test_specials_match_rust(synth):
-    host, tpu, rust = synth
+    name, host, tpu, rust = synth
     texts = [
         "a<|endoftext|>b",
-        "<|fim_prefix|>head<|fim_suffix|>tail<|fim_middle|>mid",
         "plain <|endofprompt|>",
         "<|endoftext|><|endoftext|>",
     ]
+    if name == "cl100k_synth":  # FIM specials exist only on cl100k
+        texts.append("<|fim_prefix|>head<|fim_suffix|>tail<|fim_middle|>mid")
     for t in texts:
         expect = rust.encode(t, allowed_special="all")
         assert host.encode(t, allowed_special="all") == expect, repr(t)
@@ -145,7 +152,7 @@ def test_specials_match_rust(synth):
 
 
 def test_trims_on_synth_vocab(synth):
-    host, _tpu, _rust = synth
+    _name, host, _tpu, _rust = synth
     text = "The quick brown fox jumps over the lazy dog 你好 1234!"
     full = host.encode(text)
     for budget in (1, 3, 5, 8, len(full), len(full) + 5):
@@ -168,7 +175,7 @@ def test_conformance_corpus_golden(synth, lib_rs_text):
     """Pin the whole-corpus encoding so silent vocab-file or merge-path
     regressions show up as a diff (the synthetic analogue of the
     reference's committed id arrays, TikTokenizerUnitTest.cs:66-87)."""
-    host, tpu, rust = synth
+    _name, host, tpu, rust = synth
     ids = host.encode(lib_rs_text)
     expect = rust.encode(lib_rs_text, disallowed_special=())
     assert ids == expect

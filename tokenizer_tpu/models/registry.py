@@ -177,6 +177,15 @@ ENCODINGS: Mapping[str, EncodingSpec] = MappingProxyType(
             vocab_url="",  # vendored only; never fetched
             special_tokens=_SPECIALS_CL100K,
         ),
+        # o200k-SCALE sibling: 199,998 synthetic ranks (just under the
+        # 199,999 endoftext special) + the REAL o200k_base pattern and
+        # special table — pattern-3 coverage at real vocabulary scale.
+        "o200k_synth": EncodingSpec(
+            name="o200k_synth",
+            pattern=REGEX_PATTERN_3,
+            vocab_url="",  # vendored only; never fetched
+            special_tokens=_SPECIALS_O200K,
+        ),
     }
 )
 
