@@ -536,6 +536,15 @@ def measure():
     if kern_g is not None:
         gpt2["kernel_only"] = kern_g
 
+    # TERTIARY: o200k-scale / pattern-3 e2e (full mode only).
+    o200k = None
+    if not fast:
+        note("e2e o200k")
+        tok_o = create_by_encoder_name(
+            "o200k_synth", allow_fetch=False, use_tpu=True
+        )
+        o200k = _e2e_block(tok_o, docs, nbytes, cycles)
+
     note("scaling")
     scaling = [] if fast else scaling_bench()
     note("overlap")
@@ -548,6 +557,7 @@ def measure():
         "corpus_docs": len(docs),
         "cl100k_synthetic": cl100k,
         "gpt2": gpt2,
+        "o200k_synthetic": o200k,
         "overlap_ab": overlap,
         "pallas_ab_smalltable": pallas,
         "scaling_virtual_cpu": scaling,

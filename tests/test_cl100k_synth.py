@@ -86,10 +86,13 @@ CORPUS = [
 
 
 def test_host_matches_rust_tiktoken_micro(synth):
-    _name, host, _tpu, rust = synth
+    _name, host, tpu, rust = synth
     for text in CORPUS:
         expect = rust.encode(text, disallowed_special=())
         assert host.encode(text) == expect, repr(text)
+        # Single-string device-tokenizer path (native scanner + host
+        # piece resolution) agrees too.
+        assert tpu.encode(text) == expect, repr(text)
         assert host.decode(expect) == text or "�" in host.decode(expect)
 
 

@@ -363,3 +363,51 @@ def test_adaptive_router_explores_after_host_streak(gpt2_vocab):
     assert tok._route_wave_host(big) is False
     # Small waves always take the host.
     assert tok._route_wave_host(8) is True
+
+
+def test_bounded_dedup_reset(gpt2_vocab):
+    """With a tiny max_unique_rows, the dedup state flushes at safe
+    points, output stays bit-identical, and streams never flush while a
+    batch is in flight."""
+    import hashlib
+
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(
+        gpt2_vocab, spec.special_tokens, spec.pattern, max_unique_rows=500
+    )
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+
+    def word(i, j):
+        h = hashlib.blake2b(f"{i}:{j}".encode(), digest_size=5).digest()
+        return "".join(chr(97 + b % 26) for b in h)
+
+    batches = [
+        [" ".join(word(i, j) for j in range(120)) for i in range(6)]
+        for _ in range(4)
+    ]
+    # encode_batch path: resets between calls.
+    for texts in batches:
+        got = tok.encode_batch(texts)
+        for g, t in zip(got, texts):
+            assert list(g) == host.encode(t)
+    assert tok.stats.dedup_resets >= 1
+    assert tok._n_rows <= 500 + 1200  # bounded: at most one batch over
+
+    # stream path: resets only between chunks, output identical.
+    resets_before = tok.stats.dedup_resets
+    flat = [
+        ids for b in tok.encode_batch_stream(iter(batches)) for ids in b
+    ]
+    want = [host.encode(t) for texts in batches for t in texts]
+    for g, w in zip(flat, want):
+        assert list(g) == w
+    assert tok.stats.dedup_resets > resets_before
+
+    # trims survive resets too.
+    r = tok.encode_trim_suffix_batch(batches[0], 7)
+    for t, res in zip(batches[0], r):
+        assert (res.token_ids, res.text) == tuple(host.encode_trim_suffix(t, 7))

@@ -80,6 +80,8 @@ class TpuStats:
     host_wave_pieces: int = 0
     specials: int = 0
     tokens_out: int = 0
+    #: bounded-memory flushes of the dedup state (max_unique_rows).
+    dedup_resets: int = 0
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -95,6 +97,7 @@ class TpuTokenizer(TikTokenizer):
         pattern: str,
         cache_size: int = DEFAULT_CACHE_SIZE,
         mesh="auto",
+        max_unique_rows: int = 1 << 20,
     ):
         """``mesh`` selects the device layout for the merge kernel:
 
@@ -106,6 +109,16 @@ class TpuTokenizer(TikTokenizer):
         * a ``jax.sharding.Mesh`` — use it as given (must be 1-D with a
           ``"data"`` axis).
         * ``None`` — force the single-device path.
+
+        ``max_unique_rows`` bounds the dedup state (the TPU build's
+        LRU-cache analogue — but the reference LRU EVICTS at 8192
+        entries while the dedup rows otherwise grow forever: a 1 GB
+        diverse corpus would pin GBs of row matrix).  When the resolved
+        row count exceeds the bound, the interning context and row
+        matrix are flushed at the next SAFE point (never mid-stream
+        while a batch is in flight); output is unaffected — dedup is a
+        cache, and ``stats.dedup_resets`` counts the flushes.  Default
+        1M rows ~= 512 MB worst case.
         """
         super().__init__(ranks_or_path, special_tokens, pattern, cache_size)
         self.table = self.vocab.pair_table()
@@ -132,6 +145,7 @@ class TpuTokenizer(TikTokenizer):
         #: heavy corpora never hit a per-segment python slow path.
         self._ovf_pool = np.empty(4096, dtype=np.int32)
         self._ovf_len = 0
+        self._max_unique_rows = int(max_unique_rows)
 
         # Native (C++) split+dedup fast path: active when the library
         # builds and the pattern is one of the three known generations.
@@ -209,6 +223,30 @@ class TpuTokenizer(TikTokenizer):
         start = self._n_rows
         self._n_rows = need
         return start
+
+    def _maybe_reset_dedup(self) -> None:
+        """Flush the dedup state when it exceeds the memory bound.
+
+        ONLY call at safe points: no split-phase state may be in flight
+        (its uid buffer maps through the context being replaced).
+        Correctness is unaffected — the dedup is a cache; every piece
+        re-interns on next sight.  The reference analogue is the LRU's
+        eviction (LRUCache.cs:99), traded here for a bulk flush because
+        per-row eviction would fight the flat row-matrix layout.
+        """
+        if self._n_rows <= self._max_unique_rows:
+            return
+        self._piece_rows = {}
+        self._special_rows = {}
+        self._rows = np.zeros((_INIT_ROWS, _MAX_OUT), dtype=np.int32)
+        self._row_len = np.zeros(_INIT_ROWS, dtype=np.int32)
+        self._row_u16 = np.zeros(_INIT_ROWS, dtype=np.int32)
+        self._n_rows = 0
+        self._ovf_pool = np.empty(4096, dtype=np.int32)
+        self._ovf_len = 0
+        self._uid_rows = np.empty(_INIT_ROWS, dtype=np.int32)
+        self._split_ctx = None  # rebuilt (fresh uids) on next use
+        self.stats.dedup_resets += 1
 
     def _oracle_piece(self, pbytes: bytes):
         """Host-oracle piece resolution: whole-piece hit, then BPE loop.
@@ -1046,6 +1084,7 @@ class TpuTokenizer(TikTokenizer):
         loop on the accelerator and no per-token Python.
         """
         allowed = self._resolve_allowed(allowed_special)
+        self._maybe_reset_dedup()  # safe: nothing in flight
         if self._native is not None and self._native_pid is not None:
             return self._encode_batch_native(texts, allowed)
         new_pieces: List[str] = []
@@ -1102,6 +1141,8 @@ class TpuTokenizer(TikTokenizer):
             return
         prev = None  # (state, merge handle)
         for texts in batches:
+            if prev is None:
+                self._maybe_reset_dedup()  # safe: nothing in flight
             state = self._native_split_phase(texts, allowed)
             handle = self._dispatch_wave(state[4])
             if prev is not None:
@@ -1151,6 +1192,7 @@ class TpuTokenizer(TikTokenizer):
         Returns (assembled ids per text, state) — per-piece boundary
         bookkeeping then runs over the row matrix with no re-encode.
         """
+        self._maybe_reset_dedup()  # safe: nothing in flight
         state = self._native_split_phase(texts, allowed)
         self._finish_new_piece_rows(self._dispatch_wave(state[4]))
         return self._native_assemble_phase(state), state
