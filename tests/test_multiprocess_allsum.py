@@ -45,39 +45,63 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _run_pair(worker: str, extra_args, timeout: float, attempts: int = 2):
+    """Launch the 2-rank job, returning {pid: RESULT dict}.
+
+    The free-port probe is inherently TOCTOU (the coordinator rebinds it
+    after we close), and distributed init can also miss its barrier when
+    the host is briefly oversubscribed mid-suite — so one retry with a
+    fresh port before declaring failure.
+    """
+    last_err = ""
+    for attempt in range(attempts):
+        extra = extra_args(attempt) if callable(extra_args) else extra_args
+        coord = f"127.0.0.1:{_free_port()}"
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", worker, str(pid), coord, *extra],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                env=env,
+                cwd=str(REPO),
+            )
+            for pid in (0, 1)
+        ]
+        results, ok = {}, True
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=timeout)
+                if p.returncode != 0:
+                    ok = False
+                    last_err = err[-2000:]
+                    continue
+                for line in out.splitlines():
+                    if line.startswith("RESULT "):
+                        rec = json.loads(line[len("RESULT ") :])
+                        results[rec["pid"]] = rec
+        except subprocess.TimeoutExpired:
+            ok, last_err = False, "worker pair timed out"
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        if ok and set(results) == {0, 1}:
+            return results, extra
+    raise AssertionError(f"worker pair failed twice; last stderr:\n{last_err}")
+
+
 def test_two_process_all_sum(tmp_path):
-    coord = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    # One virtual device per process keeps init fast and unambiguous.
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     worker = _WORKER.replace("@REPO@", str(REPO))
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", worker, str(pid), coord],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-            env=env,
-            cwd=str(REPO),
-        )
-        for pid in (0, 1)
-    ]
-    results = {}
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=150)
-            assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
-            for line in out.splitlines():
-                if line.startswith("RESULT "):
-                    rec = json.loads(line[len("RESULT ") :])
-                    results[rec["pid"]] = rec["sum"]
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    results, _ = _run_pair(worker, [], timeout=150)
     # 10*(0+1)+10*(1+1)=30 ; (3+0)+(3+1)=7 — identical on both ranks.
-    assert results == {0: [30.0, 7.0], 1: [30.0, 7.0]}
+    assert {p: r["sum"] for p, r in results.items()} == {
+        0: [30.0, 7.0],
+        1: [30.0, 7.0],
+    }
 
 
 _ENCODE_WORKER = r"""
@@ -124,36 +148,13 @@ def test_two_process_distributed_encode(tmp_path):
 
     import numpy as np
 
-    coord = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     worker = _ENCODE_WORKER.replace("@REPO@", str(REPO))
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", worker, str(pid), coord, str(tmp_path)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-            env=env,
-            cwd=str(REPO),
-        )
-        for pid in (0, 1)
-    ]
-    results = {}
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=240)
-            assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
-            for line in out.splitlines():
-                if line.startswith("RESULT "):
-                    rec = json.loads(line[len("RESULT ") :])
-                    results[rec["pid"]] = rec
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    assert set(results) == {0, 1}
+    # Fresh output dir per attempt so a failed try can't leave partial
+    # shard files in the one the merge check reads.
+    results, (out_dir,) = _run_pair(
+        worker, lambda a: [str(tmp_path / f"try{a}")], timeout=240
+    )
+    out_dir = Path(out_dir)
     # Cross-process counter sums agree on both ranks.
     assert results[0]["global"] == results[1]["global"]
     assert results[0]["docs"] + results[1]["docs"] == 40
@@ -170,7 +171,7 @@ def test_two_process_distributed_encode(tmp_path):
     per_shard = {0: [], 1: []}
     for shard in (0, 1):
         for f in sorted(
-            glob.glob(str(tmp_path / f"tokens_s{shard:05d}_c*.npz"))
+            glob.glob(str(out_dir / f"tokens_s{shard:05d}_c*.npz"))
         ):
             z = np.load(f)
             ids, offs = z["ids"], z["offsets"]

@@ -56,11 +56,12 @@ def hash_pair_u32(left: np.ndarray, right: np.ndarray, slot_bits: int) -> np.nda
     All operations wrap mod 2**32; the device kernels reproduce this
     exactly with jnp.uint32 math.
     """
-    l = left.astype(np.uint32)
-    r = right.astype(np.uint32)
-    h = (l * _C1) ^ (r * _C2)
-    h ^= h >> np.uint32(16)
-    return ((h * _FIB) >> np.uint32(32 - slot_bits)).astype(np.int32)
+    with np.errstate(over="ignore"):  # wraparound is the contract
+        l = left.astype(np.uint32)
+        r = right.astype(np.uint32)
+        h = (l * _C1) ^ (r * _C2)
+        h ^= h >> np.uint32(16)
+        return ((h * _FIB) >> np.uint32(32 - slot_bits)).astype(np.int32)
 
 
 @dataclass
