@@ -146,6 +146,28 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.tt_ctx_split_merge_batch.restype = ctypes.c_int64
+        lib.tt_ctx_split_merge_batch.argtypes = (
+            lib.tt_ctx_split_batch.argtypes[:-1]
+            + [
+                ctypes.POINTER(ctypes.c_int64),  # n_new
+                ctypes.c_void_p,  # byte_to_id
+                ctypes.c_void_p,  # kl
+                ctypes.c_void_p,  # kr
+                ctypes.c_void_p,  # vv
+                ctypes.c_int32,  # slot_bits
+                ctypes.c_int32,  # max_probes
+                ctypes.c_void_p,  # rows
+                ctypes.c_void_p,  # row_len
+                ctypes.c_void_p,  # row_u16
+                ctypes.c_int64,  # row_width
+                ctypes.c_int64,  # row_cap
+                ctypes.c_void_p,  # uid_rows
+                ctypes.c_int64,  # uid_cap
+                ctypes.POINTER(ctypes.c_int64),  # row_next (in/out)
+                ctypes.POINTER(ctypes.c_int64),  # n_fused (out)
+            ]
+        )
         lib.tt_gather_bytes.restype = ctypes.c_int64
         lib.tt_gather_bytes.argtypes = [
             ctypes.c_void_p,
@@ -204,7 +226,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_void_p,  # out_counts
         ]
-        if lib.tt_abi_version() != 7:
+        if lib.tt_abi_version() != 8:
             return None
         _LIB = lib
         return _LIB
@@ -404,6 +426,104 @@ class SplitContext:
         )
         offsets = seg_start - base
         return piece_uid, offsets, seg_np, news
+
+    def split_merge_batch(
+        self,
+        data: bytes,
+        seg_start: np.ndarray,
+        seg_end: np.ndarray,
+        table,
+        rows: np.ndarray,
+        row_len: np.ndarray,
+        row_u16: np.ndarray,
+        uid_rows: np.ndarray,
+        n_rows: int,
+        nthreads: int = 0,
+    ):
+        """:meth:`split_batch` + fused first-seen merge (cold path).
+
+        First-seen pieces are byte-pair-merged ON the scanning threads
+        and written straight into ``rows``/``row_len``/``row_u16`` with
+        ``uid_rows[uid] = row`` — no separate registration, merge, or
+        scatter pass.  Pieces that cannot be fused (row/uid capacity,
+        or a merge wider than a row) come back in ``news`` exactly as
+        from :meth:`split_batch`.  Returns ``(piece_uid_buffer,
+        seg_offsets, seg_counts, news, new_n_rows, n_fused)``; the
+        caller commits ``new_n_rows`` as its row high-water mark.  The
+        same buffer-OWNERSHIP/generation contract as split_batch
+        applies.
+        """
+        if nthreads <= 0:
+            nthreads = min(os.cpu_count() or 1, 16)
+        n_segs = len(seg_start)
+        if n_segs == 0:
+            return (
+                np.empty(0, np.int32),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                [],
+                n_rows,
+                0,
+            )
+        seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
+        seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
+        base = int(seg_start[0])
+        cap = max(int(seg_end[-1]) - base, 1)
+        self.generation += 1
+        piece_uid = self._uid_buffer(cap)
+        seg_np = np.empty(n_segs, dtype=np.int64)
+        new_uid, new_start, new_end = self._news_buffers(cap)
+        n_new = ctypes.c_int64(0)
+        row_next = ctypes.c_int64(int(n_rows))
+        n_fused = ctypes.c_int64(0)
+        assert rows.flags.c_contiguous and rows.dtype == np.int32
+        rc = self._lib.tt_ctx_split_merge_batch(
+            self._ctx,
+            data,
+            seg_start.ctypes.data_as(ctypes.c_void_p),
+            seg_end.ctypes.data_as(ctypes.c_void_p),
+            n_segs,
+            nthreads,
+            piece_uid.ctypes.data_as(ctypes.c_void_p),
+            seg_np.ctypes.data_as(ctypes.c_void_p),
+            new_uid.ctypes.data_as(ctypes.c_void_p),
+            new_start.ctypes.data_as(ctypes.c_void_p),
+            new_end.ctypes.data_as(ctypes.c_void_p),
+            cap,
+            ctypes.byref(n_new),
+            table.byte_to_id.ctypes.data_as(ctypes.c_void_p),
+            table.key_left.ctypes.data_as(ctypes.c_void_p),
+            table.key_right.ctypes.data_as(ctypes.c_void_p),
+            table.values.ctypes.data_as(ctypes.c_void_p),
+            table.slot_bits,
+            table.max_probes,
+            rows.ctypes.data_as(ctypes.c_void_p),
+            row_len.ctypes.data_as(ctypes.c_void_p),
+            row_u16.ctypes.data_as(ctypes.c_void_p),
+            rows.shape[1],
+            rows.shape[0],
+            uid_rows.ctypes.data_as(ctypes.c_void_p),
+            len(uid_rows),
+            ctypes.byref(row_next),
+            ctypes.byref(n_fused),
+        )
+        if rc < 0:
+            raise RuntimeError(f"tt_ctx_split_merge_batch failed: {rc}")
+        k = n_new.value
+        news = (
+            new_uid[:k].copy(),
+            new_start[:k].copy(),
+            new_end[:k].copy(),
+        )
+        offsets = seg_start - base
+        return (
+            piece_uid,
+            offsets,
+            seg_np,
+            news,
+            int(row_next.value),
+            int(n_fused.value),
+        )
 
 
 def bpe_encode(piece: bytes, table) -> np.ndarray:

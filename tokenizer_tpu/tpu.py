@@ -204,6 +204,10 @@ class TpuTokenizer(TikTokenizer):
         #: host-routed waves since the last device wave — forces an
         #: occasional device re-measure so a recovered channel is found.
         self._host_waves_since_dev = 0
+        #: EMA of first-seen pieces per input byte — sizes the fused
+        #: split+merge path's row pre-reserve (cold corpora run ~1/50;
+        #: warm streams decay toward 0).
+        self._news_per_byte = 1.0 / 32.0
 
     # -- row-matrix plumbing ------------------------------------------------
 
@@ -564,6 +568,48 @@ class TpuTokenizer(TikTokenizer):
                 and self._host_waves_since_dev < 32
             )
         )
+
+    def _should_fuse(self, nbytes: int) -> bool:
+        """Route the whole split through the fused scan+merge?
+
+        Yes when the ESTIMATED new-piece wave would route to the host
+        anyway (per the same adaptive predicate waves use) — the merge
+        then runs on the scanning threads with the piece bytes hot in
+        cache instead of as separate register/merge/scatter passes.
+        No when a device/mesh route is preferred (the wave must stay
+        deferrable) or when unreachable-token pieces force per-piece
+        oracle routing.
+        """
+        if self._force_host_bytes:
+            return False
+        est = max(int(self._news_per_byte * nbytes), 1)
+        return self._route_wave_host(est)
+
+    def _note_news_rate(self, nbytes: int, n_new: int) -> None:
+        if nbytes > 0:
+            self._news_per_byte = (
+                0.5 * self._news_per_byte + 0.5 * (n_new / nbytes)
+            )
+
+    def _prepare_fused_capacity(self, nbytes: int) -> None:
+        """Pre-grow row/uid arrays so the fused call rarely defers.
+
+        Capacity-bounded (the C++ side defers gracefully): the reserve
+        is the news-rate estimate with 1.5x headroom, clamped so one
+        call never zeroes more than ~128 MB of fresh row matrix.
+        """
+        est = min(int(self._news_per_byte * nbytes * 1.5) + 1024, 1 << 18)
+        need_uids = self._split_ctx.n_pieces + est
+        if need_uids > len(self._uid_rows):
+            cap = len(self._uid_rows)
+            while cap < need_uids:
+                cap *= 2
+            grown = np.empty(cap, dtype=np.int32)
+            grown[: len(self._uid_rows)] = self._uid_rows
+            self._uid_rows = grown
+        if len(self._row_len) - self._n_rows < est:
+            start = self._reserve_rows(est)
+            self._n_rows = start  # capacity only; rows commit via C++
 
     def _note_host_wave(self, n_wave: int, dt: float) -> None:
         if n_wave >= 64:  # don't let tiny waves skew the EMA
@@ -1001,9 +1047,40 @@ class TpuTokenizer(TikTokenizer):
 
         wave = None
         if seg_starts:
-            uid_buf, seg_offs, seg_counts, news = self._split_ctx.split_batch(
-                buf, np.asarray(seg_starts), np.asarray(seg_ends)
-            )
+            news = None
+            if self._should_fuse(len(buf)):
+                self._prepare_fused_capacity(len(buf))
+                (
+                    uid_buf,
+                    seg_offs,
+                    seg_counts,
+                    news,
+                    new_n_rows,
+                    n_fused,
+                ) = self._split_ctx.split_merge_batch(
+                    buf,
+                    np.asarray(seg_starts),
+                    np.asarray(seg_ends),
+                    self.table,
+                    self._rows,
+                    self._row_len,
+                    self._row_u16,
+                    self._uid_rows,
+                    self._n_rows,
+                )
+                self._n_rows = new_n_rows
+                if n_fused:
+                    self.stats.unique_pieces += n_fused
+                    self.stats.host_wave_pieces += n_fused
+                    self._host_waves_since_dev += 1
+                self._note_news_rate(len(buf), n_fused + len(news[0]))
+            else:
+                uid_buf, seg_offs, seg_counts, news = (
+                    self._split_ctx.split_batch(
+                        buf, np.asarray(seg_starts), np.asarray(seg_ends)
+                    )
+                )
+                self._note_news_rate(len(buf), len(news[0]))
             if len(news[0]):
                 wave = self._register_new_uids_arrays(news, buf)
             self.stats.pieces += int(seg_counts.sum())

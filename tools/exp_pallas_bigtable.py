@@ -43,7 +43,15 @@ def main():
         file=sys.stderr,
     )
 
-    S, B = (2, 128) if interpret else (16, 128)
+    # On-chip default is the [2, 128] tile: the measured record
+    # (ops/exp_pallas_bigtable.py docstring) shows the [16, 128] tile's
+    # statically-unrolled one-hot rounds blow up Mosaic compile time
+    # (>500 s); pass --tile 16 to reproduce that blowup deliberately.
+    S = 2
+    for k, a in enumerate(sys.argv):
+        if a == "--tile" and k + 1 < len(sys.argv):
+            S = int(sys.argv[k + 1])
+    B = 128
     rng = np.random.default_rng(5)
     # Half real pairs (hits), half random (mostly misses).
     n_pairs = len(table.key_left)
