@@ -462,9 +462,85 @@ def scaling_bench():
     }
 
 
+_DEVICE_E2E_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, ".")
+from bench import gen_corpus, _nbytes
+from tokenizer_tpu import create_by_encoder_name
+
+docs = gen_corpus(1.0, seed=11)
+nbytes = _nbytes(docs)
+tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)
+tok.encode("warm")  # start the channel probe
+tok._start_channel_probe()
+# The tunneled transport's FIRST d2h intermittently stalls for ~1-2
+# minutes before flipping into its steady ~24 ms/RPC mode (measured
+# 87 s for 32 KB this round) — wait through one such stall, then the
+# forced-device run proceeds at steady RPC cost.
+tok._dev_event.wait(150.0)
+if not tok._dev_ready:
+    print(json.dumps({"error": "device never became ready (transport d2h stall > 150 s)"}))
+    raise SystemExit(0)
+# Force every wave onto the device: with host cost pinned to +inf the
+# adaptive router (and the fused-split predicate) prefer the device for
+# any wave above the tiny-wave floor.
+tok._host_pp = float("inf")
+chunks = [docs[i : i + 256] for i in range(0, len(docs), 256)]
+before = tok.stats.as_dict()
+t0 = time.perf_counter()
+out = [ids for b in tok.encode_batch_stream(chunks) for ids in b]
+cold = time.perf_counter() - t0
+d = {k: tok.stats.as_dict()[k] - before[k] for k in before}
+host = create_by_encoder_name("gpt2", allow_fetch=False)
+import random
+for i in random.Random(0).sample(range(len(docs)), 25):
+    assert list(out[i]) == host.encode(docs[i]), i
+print(json.dumps({
+    "MBps": round(nbytes / cold / 1e6, 2),
+    "seconds": round(cold, 3),
+    "bytes": nbytes,
+    "device_pieces": d["device_pieces"],
+    "unique_pieces": d["unique_pieces"],
+    "parity_spot_checks": 25,
+}))
+import os; os._exit(0)
+"""
+
+
+def device_e2e_forced():
+    """Cold e2e with every merge wave FORCED onto the device.
+
+    The adaptive router keeps the device off the critical path when the
+    host wins (the honest production configuration on this tunneled
+    transport, ~24 ms/RPC) — which leaves no artifact showing the
+    DEVICE pipeline sustaining e2e throughput (VERDICT r2 missing #3).
+    This block measures exactly that, in its own subprocess so a
+    transport stall costs a bounded timeout, not the bench.
+    """
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _DEVICE_E2E_SNIPPET],
+            capture_output=True,
+            text=True,
+            timeout=330,
+            env=dict(os.environ),
+            cwd=str(Path(__file__).parent),
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as ex:
+        return {"error": str(ex)[:160]}
+
+
 def _e2e_block(tok, docs, nbytes: int, cycles: int):
     """Warm-up on an out-of-sample seed, then cold + steady e2e."""
     tok.encode_batch(gen_corpus(0.5, seed=123))
+    # Let the channel probe (and its jit compile, which contends for
+    # this box's ~1.25 CPUs) settle before the timed region — bounded so
+    # a stalled transport can't hold the bench (stall immunity intact).
+    ev = getattr(tok, "_dev_event", None)
+    if ev is not None:
+        ev.wait(45.0)  # tunnel-compile ~20-40 s; stalled probes never set
     cold_s, steady_s, delta, tokens = e2e_bench(tok, docs, cycles=cycles)
     return {
         "e2e_cold_MBps": round(nbytes / cold_s / 1e6, 2),
@@ -549,6 +625,8 @@ def measure():
     scaling = [] if fast else scaling_bench()
     note("overlap")
     overlap = overlap_ab(gen_corpus(2.0 if fast else 4.0, seed=99))
+    note("device e2e forced")
+    dev_e2e = {} if fast else device_e2e_forced()
     note("done")
 
     steady = cl100k["e2e_steady_MBps"]
@@ -561,6 +639,7 @@ def measure():
         "overlap_ab": overlap,
         "pallas_ab_smalltable": pallas,
         "scaling_virtual_cpu": scaling,
+        "device_e2e_forced": dev_e2e,
     }
     print(
         json.dumps(
@@ -621,7 +700,7 @@ def main():
 
     fast_env = {"BENCH_FAST": "1"}
     plans = [
-        (480, {}),  # full, real chip
+        (640, {}),  # full, real chip (incl. bounded device-forced block)
         (240, fast_env),  # small, real chip
         (240, {**fast_env, "JAX_PLATFORMS": "cpu"}),  # host-bound fallback
     ]

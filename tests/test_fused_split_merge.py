@@ -99,6 +99,23 @@ def test_fused_stream_parity(monkeypatch, host):
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+@pytest.mark.parametrize("enc", ["cl100k_synth", "o200k_synth"])
+def test_fused_parity_patterns_2_3(monkeypatch, enc):
+    """Patterns 2/3 drive different native scanners; the fused merge
+    must stay bit-exact there too (synthetic 100k/200k-rank vocabs)."""
+    monkeypatch.setenv("TOKENIZER_TPU_NO_DEVICE", "1")
+    try:
+        tok = create_by_encoder_name(enc, allow_fetch=False, use_tpu=True)
+    except Exception:
+        pytest.skip(f"{enc} vocab unavailable")
+    host2 = create_by_encoder_name(enc, allow_fetch=False)
+    got = tok.encode_batch(DOCS, allowed_special="all")
+    for t, g in zip(DOCS, got):
+        assert list(g) == host2.encode(t, allowed_special="all"), t[:40]
+    assert tok.stats.unique_pieces > 0
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
 def test_split_merge_batch_low_level(host):
     """Direct contract test of the native entry point."""
     vocab_tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)

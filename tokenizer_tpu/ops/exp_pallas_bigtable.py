@@ -24,6 +24,9 @@ MEASURED on-chip record (TPU v5e via the CI tunnel, jax 0.9.0,
   [2, 128] tile (256 probes):
     XLA native gather lookup:     0.064 ms
     Pallas one-hot (int8 planes): 0.101 ms   (1.6x; both dispatch-bound)
+    2026-08-21 rerun, same tile, post-stall transport: XLA 25.28 ms vs
+    Pallas 27.96 ms (1.1x) — both arms swallowed by the ~24 ms/RPC
+    tunnel tax, same verdict; bit-exact re-confirmed on chip.
   [16, 128] tile (2048 probes, one merge wave's worth):
     XLA native gather lookup:     ~0.07 ms
     Pallas one-hot:               compile DID NOT COMPLETE within a
