@@ -47,6 +47,10 @@ __all__ = ["TpuTokenizer", "TpuStats"]
 #: the row matrix must stay narrow because it scales with the number of
 #: unique pieces ever seen.
 _MAX_OUT = 128
+#: single-string encodes at or above this size delegate to the batched
+#: native pipeline (fused scan+merge); below it, the per-piece host
+#: loop has lower latency (no row-matrix bookkeeping).
+_BATCH_DELEGATE_BYTES = 1 << 16
 #: Initial row-matrix capacity (doubles on demand).
 _INIT_ROWS = 4096
 #: Single-device waves with at most this many unique pieces resolve on
@@ -1428,11 +1432,20 @@ class TpuTokenizer(TikTokenizer):
         """
         if self._native is None or self._native_pid is None:
             return super().encode(text, allowed_special)
+        data = text.encode("utf-8")
+        if len(data) >= _BATCH_DELEGATE_BYTES:
+            # Large single strings take the batched pipeline: the fused
+            # native scan+intern(+merge) runs ~50x the per-piece python
+            # loop below, and outputs are bit-identical (enforced by
+            # tests/test_tpu_pipeline.py).  The threshold keeps tiny
+            # interactive encodes on the zero-setup low-latency path.
+            self._maybe_reset_dedup()
+            allowed = self._resolve_allowed(allowed_special)
+            return self._encode_batch_native([text], allowed)[0].tolist()
         allowed = self._resolve_allowed(allowed_special)
         allowed_b = (
             {s.encode("utf-8") for s in allowed} if allowed else None
         )
-        data = text.encode("utf-8")
         n = len(data)
         presplit = self._native.presplit
         pid = self._native_pid
