@@ -116,6 +116,37 @@ def test_fused_parity_patterns_2_3(monkeypatch, enc):
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_fused_fuzz_vs_oracle(monkeypatch, host):
+    """Seeded random unicode/byte soup through the fused path."""
+    import random
+
+    rng = random.Random(0xF05E)
+    pools = [
+        lambda: "".join(
+            chr(rng.choice([32, 10, 9] + list(range(97, 123))))
+            for _ in range(rng.randint(1, 40))
+        ),
+        lambda: "".join(
+            chr(rng.randint(0x4E00, 0x9FFF)) for _ in range(rng.randint(1, 60))
+        ),
+        lambda: "".join(
+            chr(rng.randint(0x1F300, 0x1F64F)) for _ in range(rng.randint(1, 8))
+        ),
+        lambda: str(rng.randint(0, 10**rng.randint(1, 12))),
+        lambda: " '" + rng.choice(["s", "t", "re", "ve", "LL", "D"]),
+    ]
+    docs = [
+        "".join(rng.choice(pools)() for _ in range(rng.randint(1, 12)))
+        for _ in range(80)
+    ]
+    tok = _host_routed_tok(monkeypatch)
+    got = tok.encode_batch(docs)
+    for t, g in zip(docs, got):
+        assert list(g) == host.encode(t), repr(t[:50])
+    assert tok.stats.fused_pieces > 0  # the fused path actually engaged
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
 def test_split_merge_batch_low_level(host):
     """Direct contract test of the native entry point."""
     vocab_tok = create_by_encoder_name("gpt2", allow_fetch=False, use_tpu=True)

@@ -82,6 +82,9 @@ class TpuStats:
     #: merge): below _HOST_WAVE_MAX uniques a device round trip costs
     #: more than merging on the host.
     host_wave_pieces: int = 0
+    #: unique pieces merged INSIDE the native scan (fused split+merge,
+    #: tt_ctx_split_merge_batch) — a subset of host_wave_pieces.
+    fused_pieces: int = 0
     specials: int = 0
     tokens_out: int = 0
     #: bounded-memory flushes of the dedup state (max_unique_rows).
@@ -1076,6 +1079,7 @@ class TpuTokenizer(TikTokenizer):
                 if n_fused:
                     self.stats.unique_pieces += n_fused
                     self.stats.host_wave_pieces += n_fused
+                    self.stats.fused_pieces += n_fused
                     self._host_waves_since_dev += 1
                 self._note_news_rate(len(buf), n_fused + len(news[0]))
             else:
