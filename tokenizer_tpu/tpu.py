@@ -1213,41 +1213,72 @@ class TpuTokenizer(TikTokenizer):
                      -> finish merges(k) -> assemble(k) -> yield k
 
         Dispatch is jax-async, so ``split(k+1)`` runs concurrently with
-        the device executing batch k's tiles.  Output order and content
-        are bit-identical to ``[self.encode_batch(b) for b in batches]``
-        — batch k+1's split only consults the uid->row map (assigned at
-        split(k) time), never row CONTENTS, which are written by
-        ``finish`` before ``assemble`` reads them.
+        the device executing batch k's tiles.  When the adaptive router
+        resolves batch k entirely on the host (no device wave), the
+        OTHER overlap applies: assemble(k) runs on a worker thread
+        concurrently with split(k+1) — both are native calls that
+        release the GIL, so on multi-core hosts the two phases of the
+        steady state truly parallelize (disjointness argument at the
+        ``deferred`` comment below).  Output order and content are
+        bit-identical to ``[self.encode_batch(b) for b in batches]`` —
+        batch k+1's split only consults the uid->row map (assigned at
+        split(k) time), never row CONTENTS of its own batch, and only
+        allocates rows/uids beyond those assemble(k) reads.
         """
         allowed = self._resolve_allowed(allowed_special)
         if self._native is None or self._native_pid is None:
             for texts in batches:
                 yield self.encode_batch(texts, allowed_special)
             return
-        prev = None  # (state, merge handle)
-        for texts in batches:
-            if prev is None:
-                self._maybe_reset_dedup()  # safe: nothing in flight
-            state = self._native_split_phase(texts, allowed)
-            handle = self._dispatch_wave(state[4])
-            if prev is not None:
-                pstate, phandle = prev
-                prev = None
-                self._finish_new_piece_rows(phandle)
-                yield self._native_assemble_phase(pstate)
-            if handle is None:
-                # Nothing in flight on the device (warm chunk resolved by
-                # the host-wave router, or no new pieces at all): defer
-                # nothing — assembling now is the sync fast path, and a
-                # steady-state stream degenerates to it instead of
-                # holding every chunk one step for no overlap gain.
-                yield self._native_assemble_phase(state)
-            else:
-                prev = (state, handle)
-        if prev is not None:
-            pstate, phandle = prev
+        from concurrent.futures import ThreadPoolExecutor
+
+        #: at most ONE deferred chunk: ("host", future) — assemble runs
+        #: on the pool thread, overlapping the NEXT chunk's native split
+        #: (both release the GIL; on multi-core hosts they truly run in
+        #: parallel) — or ("dev", state, handle) — device merge in
+        #: flight.  Safe by disjointness: assemble(k) touches only rows
+        #: resolved by end of chunk k, while split(k+1) writes rows and
+        #: uid slots allocated after them; array growth replaces the
+        #: numpy objects ATOMICALLY after copying the resolved prefix,
+        #: so the assemble thread reads a complete view either way.
+        deferred = None
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def resolve(d):
+            if d[0] == "host":
+                return d[1].result()
+            _, pstate, phandle = d
             self._finish_new_piece_rows(phandle)
-            yield self._native_assemble_phase(pstate)
+            return self._native_assemble_phase(pstate)
+
+        try:
+            for texts in batches:
+                if (
+                    deferred is not None
+                    and self._n_rows > self._max_unique_rows
+                ):
+                    # Memory bound hit: drain the pipeline so the dedup
+                    # flush below happens at a safe point.
+                    yield resolve(deferred)
+                    deferred = None
+                if deferred is None:
+                    self._maybe_reset_dedup()  # safe: nothing in flight
+                state = self._native_split_phase(texts, allowed)
+                handle = self._dispatch_wave(state[4])
+                if deferred is not None:
+                    yield resolve(deferred)
+                    deferred = None
+                if handle is None:
+                    deferred = (
+                        "host",
+                        pool.submit(self._native_assemble_phase, state),
+                    )
+                else:
+                    deferred = ("dev", state, handle)
+            if deferred is not None:
+                yield resolve(deferred)
+        finally:
+            pool.shutdown(wait=True)
 
     # -- bulk trims ---------------------------------------------------------
 
