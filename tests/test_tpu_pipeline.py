@@ -317,6 +317,11 @@ def test_adaptive_wave_router_gates_on_probe(gpt2_vocab):
 
     tok._ensure_device()
     tok._dev_ready = False  # simulate a stalled channel probe
+    # ...and pin the simulation: without this the first wave launches
+    # the REAL probe thread, whose warm-compile-cache merge can finish
+    # inside the 0.5 s grace window and flip _dev_ready back (flaky).
+    tok._dev_probe_started = True
+    tok._dev_event.set()
     got = tok.encode_batch(big)
     for g, t in zip(got, big):
         assert list(g) == host.encode(t)

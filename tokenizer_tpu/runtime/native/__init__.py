@@ -388,7 +388,7 @@ class SplitContext:
         if n_segs == 0:
             return np.empty(0, np.int32), np.empty(0, np.int64), np.empty(
                 0, np.int64
-            ), []
+            ), tuple(np.empty(0, np.int32) for _ in range(3))
         seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
         seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
         base = int(seg_start[0])
@@ -457,11 +457,12 @@ class SplitContext:
             nthreads = min(os.cpu_count() or 1, 16)
         n_segs = len(seg_start)
         if n_segs == 0:
+            empty_news = tuple(np.empty(0, np.int32) for _ in range(3))
             return (
                 np.empty(0, np.int32),
                 np.empty(0, np.int64),
                 np.empty(0, np.int64),
-                [],
+                empty_news,
                 n_rows,
                 0,
             )

@@ -276,15 +276,6 @@ class TpuTokenizer(TikTokenizer):
             return self._native.bpe_encode(pbytes, self.table).tolist()
         return byte_pair_encode(pbytes, self.encoder)
 
-    def _host_resolve_piece(self, pbytes: bytes):
-        """Whole-piece hit, then the native C++ merge (bit-exact)."""
-        tid = self.encoder.get(pbytes)
-        if tid is not None:
-            return [tid]
-        if not pbytes:
-            return []
-        return self._native.bpe_encode(pbytes, self.table)
-
     def _host_wave_resolve(self, as_bytes: List[bytes], row_ids) -> None:
         """Resolve a whole wave on the host: ONE batched native merge
         call (threaded, scratch-reused) and one vectorized row scatter —
@@ -385,14 +376,6 @@ class TpuTokenizer(TikTokenizer):
             self._special_rows[tid] = r
         return r
 
-    @staticmethod
-    def _u16_units_of_bytes(pb: bytes) -> int:
-        """UTF-16 code units of a UTF-8 byte string without decoding:
-        one unit per lead byte, plus one extra per 4-byte (astral) lead."""
-        cont = sum(1 for b in pb if 0x80 <= b < 0xC0)
-        astral = sum(1 for b in pb if b >= 0xF0)
-        return len(pb) - cont + astral
-
     # -- device plumbing ----------------------------------------------------
 
     def _ensure_device(self) -> int:
@@ -426,13 +409,18 @@ class TpuTokenizer(TikTokenizer):
 
             self.mesh = mesh
             sharded = make_sharded_merge_fn(self.table, mesh)
-            self._merge_fn = lambda tab, ids, lens: sharded(tab, ids, lens)[:2]
+            # PUBLICATION ORDER: the probe thread runs this while the
+            # encode path polls `_merge_fn is not None` — everything the
+            # device route reads (mesh, b_quantum) must be written
+            # BEFORE _merge_fn makes the route eligible, else a racing
+            # wave packs with a stale None quantum (LANE fallback) and
+            # mis-tiles the sharded merge.
             self._b_quantum = LANE * mesh.size
-        else:
-            self._merge_fn = jit_merge_fn(self.table)
-            self._b_quantum = LANE
-        if self.mesh is not None:
             self._dev_ready = True  # mesh path: no adaptive gating
+            self._merge_fn = lambda tab, ids, lens: sharded(tab, ids, lens)[:2]
+        else:
+            self._b_quantum = LANE
+            self._merge_fn = jit_merge_fn(self.table)
         return self._b_quantum
 
     def _device_tab(self):
@@ -500,11 +488,20 @@ class TpuTokenizer(TikTokenizer):
                 ids = np.full((8, LANE), -1, np.int32)
                 ids[0, :] = int(self.table.byte_to_id[97])
                 lengths = np.ones(LANE, np.int32)
+                out_ids, out_n = self._merge_fn(
+                    self._device_tab(), ids, lengths
+                )
+                np.asarray(out_ids)  # first d2h: compile + stall eater
+                # Seed the cost EMA from a SECOND, warm round trip: the
+                # first includes jit compile and the table h2d, which
+                # would overprice the device by ~1e4x and starve the
+                # route for hundreds of exploration waves on healthy
+                # directly-attached chips.
                 t0 = time.perf_counter()
                 out_ids, out_n = self._merge_fn(
                     self._device_tab(), ids, lengths
                 )
-                np.asarray(out_ids)  # the d2h that can stall
+                np.asarray(out_ids)
                 dt = time.perf_counter() - t0
                 self._dev_pp = dt / LANE
                 self._dev_ready = True

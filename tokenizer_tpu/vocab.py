@@ -186,7 +186,7 @@ def resolve_vocab_file(encoder_name: str, allow_fetch: bool = True) -> Path:
         names.append(f"{spec.vocab_alias}.tiktoken")
     # p50k_edit's URL basename is p50k_base.tiktoken
     url_base = spec.vocab_url.rsplit("/", 1)[-1]
-    if url_base not in names:
+    if url_base and url_base not in names:
         names.append(url_base)
 
     for d in _vocab_search_dirs():
@@ -202,10 +202,14 @@ def resolve_vocab_file(encoder_name: str, allow_fetch: bool = True) -> Path:
     if derived is not None:
         return derived
 
-    if not allow_fetch:
+    if not allow_fetch or not spec.vocab_url:
+        # Vendored-only encodings (synthetic vocabs: vocab_url == "")
+        # get the clean not-found error, never a nonsense ''-URL fetch.
         raise FileNotFoundError(
             f"Rank file for {encoder_name} not found locally "
-            f"(searched {[str(d) for d in _vocab_search_dirs()]}) and fetch disabled"
+            f"(searched {[str(d) for d in _vocab_search_dirs()]})"
+            + ("" if spec.vocab_url else "; encoding is vendored-only")
+            + ("" if allow_fetch else " and fetch disabled")
         )
     dest = default_cache_dir() / url_base
     _fetch(spec.vocab_url, dest)
