@@ -378,6 +378,13 @@ def overlap_ab(docs, chunk_docs: int = 128, rounds: int = 3):
         "sync_s": round(sync_s, 3),
         "pipelined_s": round(pipe_s, 3),
         "speedup": round(sync_s / pipe_s, 3) if pipe_s else None,
+        "note": (
+            "when the adaptive router resolves all waves host-side the"
+            " arms do near-identical work on a ~1.25-effective-CPU box"
+            " (expect parity +/- noise); the stream's overlaps — device"
+            " merge and the assemble-thread — pay off with a real device"
+            " route or spare cores"
+        ),
     }
 
 

@@ -268,3 +268,93 @@ def test_native_bpe_tie_break_first_min(gpt2_vocab):
         want = byte_pair_encode(piece, gpt2_vocab.encoder)
         got = native.bpe_encode(piece, table).tolist()
         assert got == want
+
+
+# ---- oversized-segment subdivision (safe split points) --------------------
+
+_SUBDIV_WORKER = r"""
+import os, sys, json
+sys.path.insert(0, %(repo)r)
+import numpy as np
+from tokenizer_tpu.runtime.native import SplitContext
+
+# Build a diverse doc large enough to subdivide many times at the
+# 4 KB test threshold: prose, code, digits, CJK (no safe points inside
+# the CJK stretch — exercises the no-safe-point-in-window fallback),
+# contractions, mixed whitespace.
+import random
+rng = random.Random(7)
+parts = []
+for k in range(400):
+    kind = k %% 6
+    if kind == 0:
+        parts.append(" ".join("word%%d" %% rng.randint(0, 999) for _ in range(40)))
+    elif kind == 1:
+        parts.append("def f_%%d(x):\n    return x + %%d  # note\n" %% (k, k) * 3)
+    elif kind == 2:
+        parts.append(" ".join(str(rng.randint(0, 10**9)) for _ in range(25)))
+    elif kind == 3:
+        parts.append("".join(chr(rng.randint(0x4E00, 0x9FFF)) for _ in range(300)))
+    elif kind == 4:
+        parts.append("it's  can't   won't\t\tdouble  spaced\n\n\nruns")
+    elif kind == 5 and k %% 12 == 5:
+        # Space-free stretch whose only candidates are '\n' cuts —
+        # half after letters/digits (allowed), half after punct
+        # (must be refused: p2/p3 punct pieces absorb trailing \r\n).
+        parts.append("".join(
+            ("w%%d\n" %% j if j %% 2 else "use fancy_regex::Regex;\n")
+            for j in range(600)))
+    else:
+        parts.append("punct!!! (x<=y) [a]{b} ~~~ " * 10)
+doc = " ".join(parts)
+data = doc.encode("utf-8")
+
+out = {}
+for pid in (1, 2, 3):
+    ctx = SplitContext(pid)
+    uids, offs, counts, news = ctx.split_batch(
+        data, np.array([0]), np.array([len(data)])
+    )
+    n = int(counts[0])
+    # Reconstruct piece byte-lengths from first-occurrence spans.
+    spans = {int(u): (int(s), int(e)) for u, s, e in zip(*news)}
+    pieces = [data[spans[int(u)][0] : spans[int(u)][1]] for u in uids[:n]]
+    out[pid] = [len(p) for p in pieces], sum(len(p) for p in pieces)
+    assert out[pid][1] == len(data), (pid, out[pid][1], len(data))
+print("PIECES " + json.dumps({p: [len(v[0]), v[1]] for p, v in out.items()}))
+# Digest of the full piece-length sequence: with the concatenation
+# pinned to the input (asserted above), equal length sequences imply
+# equal piece content.
+import hashlib
+h = {p: hashlib.blake2b(repr(out[p][0]).encode()).hexdigest() for p in out}
+print("DIGEST " + json.dumps(h))
+"""
+
+
+def test_subdivided_split_matches_whole_segment(tmp_path):
+    """A giant single-segment doc must split identically whether the
+    native layer subdivides it (4 KB test threshold) or scans it whole
+    (threshold above the doc size)."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    worker = _SUBDIV_WORKER % {"repo": repo}
+    outs = {}
+    for name, sub in (("subdiv", "4096"), ("whole", "1073741824")):
+        env = dict(os.environ)
+        env["TOKENIZER_TPU_SUBSEG_BYTES"] = sub
+        p = subprocess.run(
+            [_sys.executable, "-c", worker],
+            capture_output=True,
+            text=True,
+            timeout=240,
+            env=env,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        outs[name] = [
+            l for l in p.stdout.splitlines() if l.startswith(("PIECES", "DIGEST"))
+        ]
+    assert outs["subdiv"] == outs["whole"]
