@@ -179,3 +179,27 @@ def test_split_merge_batch_low_level(host):
     assert got == host.encode(data.decode())
     # Dedup: repeated pieces share uids; fused rows count the uniques.
     assert n_fused == len(set(uids[:n].tolist()))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_giant_segment_item_parallel_assemble(monkeypatch, host):
+    """One >131k-piece segment (multiple uid-range assembly items)
+    containing overflow-pool rows must assemble bit-exactly."""
+    import hashlib
+
+    def word(i):
+        h = hashlib.blake2b(str(i).encode(), digest_size=4).digest()
+        return "".join(chr(97 + b % 26) for b in h)
+
+    parts = []
+    for i in range(70000):  # ~2 pieces/word -> >140k pieces, one segment
+        parts.append(word(i))
+        if i % 9000 == 0:
+            parts.append("好" * 120)  # merges to >128 ids: overflow row
+    doc = " ".join(parts)
+    tok = _host_routed_tok(monkeypatch)
+    got = tok.encode_batch([doc])[0]
+    want = host.encode(doc)
+    assert list(got) == want
+    # The overflow pool was actually exercised.
+    assert (tok._row_len[: tok._n_rows] < 0).sum() > 0
