@@ -236,6 +236,21 @@ def available() -> bool:
     return _load() is not None
 
 
+def default_threads() -> int:
+    """Worker threads for the native scan/merge/assemble calls.
+
+    ``TOKENIZER_TPU_THREADS`` overrides (ops knob: shared/steal-heavy
+    hosts often run best below the vCPU count); default caps at 16.
+    """
+    env = os.environ.get("TOKENIZER_TPU_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return min(os.cpu_count() or 1, 16)
+
+
 def presplit(
     data: bytes, pattern_id: int, start: int = 0, end: Optional[int] = None
 ) -> np.ndarray:
@@ -383,7 +398,7 @@ class SplitContext:
         reading the buffer, turning a stale read into a hard error.
         """
         if nthreads <= 0:
-            nthreads = min(os.cpu_count() or 1, 16)
+            nthreads = default_threads()
         n_segs = len(seg_start)
         if n_segs == 0:
             return np.empty(0, np.int32), np.empty(0, np.int64), np.empty(
@@ -454,7 +469,7 @@ class SplitContext:
         applies.
         """
         if nthreads <= 0:
-            nthreads = min(os.cpu_count() or 1, 16)
+            nthreads = default_threads()
         n_segs = len(seg_start)
         if n_segs == 0:
             empty_news = tuple(np.empty(0, np.int32) for _ in range(3))
@@ -581,7 +596,7 @@ def bpe_encode_batch_spans(
     if lib is None:
         raise RuntimeError("native bpe unavailable")
     if nthreads <= 0:
-        nthreads = min(os.cpu_count() or 1, 16)
+        nthreads = default_threads()
     n = len(starts)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
@@ -683,7 +698,7 @@ def assemble_batch(
     if lib is None:
         raise RuntimeError("native presplit unavailable")
     if nthreads <= 0:
-        nthreads = min(os.cpu_count() or 1, 16)
+        nthreads = default_threads()
     n_segs = len(seg_counts)
     seg_offs = np.ascontiguousarray(seg_offs, dtype=np.int64)
     seg_counts = np.ascontiguousarray(seg_counts, dtype=np.int64)
