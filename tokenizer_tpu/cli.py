@@ -88,8 +88,19 @@ def _cmd_corpus(args) -> int:
 
     multihost.initialize()
     tokenizer = _make_tokenizer(args.model, use_tpu=not args.no_tpu)
+    # Unreadable files fail the run by default (a silent skip would
+    # shift every later document's shard slot and desync resume
+    # digests); --skip-unreadable opts into counted, logged skipping.
+    skipped: list = []
+
+    def _on_skip(path, exc):
+        skipped.append(str(path))
+        print(f"corpus: skipping unreadable {path}: {exc}", file=sys.stderr)
+
     progress = encode_corpus(
-        iter_corpus_files(args.paths),
+        iter_corpus_files(
+            args.paths, on_skip=_on_skip if args.skip_unreadable else None
+        ),
         tokenizer,
         args.out,
         chunk_bytes=args.chunk_bytes,
@@ -116,6 +127,7 @@ def _cmd_corpus(args) -> int:
         "global_docs": int(totals[0]),
         "global_bytes_in": int(totals[1]),
         "global_tokens_out": int(totals[2]),
+        "skipped_files": len(skipped),
     }
     print(json.dumps(report))
     return 0
@@ -159,6 +171,13 @@ def main(argv=None) -> int:
     p_corpus.add_argument("--n-shards", type=int, default=None)
     p_corpus.add_argument("--allow-specials", action="store_true")
     p_corpus.add_argument("--no-resume", action="store_true")
+    p_corpus.add_argument(
+        "--skip-unreadable",
+        action="store_true",
+        help="skip unreadable corpus files (counted + logged) instead of"
+        " failing; skipping shifts shard assignment of later documents,"
+        " so resume digests will catch any divergence loudly",
+    )
     p_corpus.add_argument("--no-tpu", action="store_true")
     p_corpus.set_defaults(fn=_cmd_corpus)
 

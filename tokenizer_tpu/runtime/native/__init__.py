@@ -40,6 +40,15 @@ PATTERN_IDS = {
 }
 
 
+def _errmsg(fn: str, rc: int) -> str:
+    if rc == -5:
+        return (
+            f"{fn} failed: buffer exceeds 2 GiB (int32 piece offsets);"
+            " split the batch into smaller chunks"
+        )
+    return f"{fn} failed: {rc}"
+
+
 def _cache_dir() -> Path:
     env = os.environ.get("TOKENIZER_TPU_CACHE_DIR")
     base = Path(env) if env else Path.home() / ".cache" / "tokenizer_tpu"
@@ -271,7 +280,7 @@ def presplit(
         cap,
     )
     if n < 0:
-        raise RuntimeError(f"tt_presplit failed: {n}")
+        raise RuntimeError(_errmsg("tt_presplit", n))
     return out[:n]
 
 
@@ -370,7 +379,7 @@ class SplitContext:
             ctypes.byref(n_new),
         )
         if n < 0:
-            raise RuntimeError(f"tt_ctx_split failed: {n}")
+            raise RuntimeError(_errmsg("tt_ctx_split", n))
         news = [
             (int(new_uid[j]), data[new_start[j] : new_end[j]])
             for j in range(n_new.value)
@@ -429,7 +438,7 @@ class SplitContext:
             ctypes.byref(n_new),
         )
         if rc < 0:
-            raise RuntimeError(f"tt_ctx_split_batch failed: {rc}")
+            raise RuntimeError(_errmsg("tt_ctx_split_batch", rc))
         k = n_new.value
         # First-seen pieces as ARRAYS of byte ranges into ``data`` (no
         # per-piece bytes objects — a cold 8 MB corpus interns ~1e5
@@ -524,7 +533,7 @@ class SplitContext:
             ctypes.byref(n_fused),
         )
         if rc < 0:
-            raise RuntimeError(f"tt_ctx_split_merge_batch failed: {rc}")
+            raise RuntimeError(_errmsg("tt_ctx_split_merge_batch", rc))
         k = n_new.value
         news = (
             new_uid[:k].copy(),

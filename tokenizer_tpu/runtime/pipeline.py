@@ -30,8 +30,20 @@ import numpy as np
 __all__ = ["ShardProgress", "encode_corpus", "iter_corpus_files"]
 
 
-def iter_corpus_files(paths: Sequence[str]) -> Iterator[str]:
-    """Yield document texts from files/directories (utf-8, replace)."""
+def iter_corpus_files(
+    paths: Sequence[str], on_skip=None
+) -> Iterator[str]:
+    """Yield document texts from files/directories (utf-8, replace).
+
+    An unreadable file is NEVER skipped silently: because documents are
+    assigned to shards positionally (doc k -> shard k % n_shards), a
+    vanished file would shift every later document's shard assignment
+    and silently re-align resume digests to a different stream.  By
+    default an :class:`OSError` propagates (fail loud).  Pass an
+    ``on_skip(path, exc)`` callable to opt into skipping — the callable
+    is invoked for every skipped file so the caller can count/log them
+    and fold the skip set into its resume contract.
+    """
     for p in paths:
         path = Path(p)
         files = (
@@ -41,9 +53,17 @@ def iter_corpus_files(paths: Sequence[str]) -> Iterator[str]:
         )
         for f in files:
             try:
-                yield f.read_text(encoding="utf-8", errors="replace")
-            except OSError:
+                text = f.read_text(encoding="utf-8", errors="replace")
+            except OSError as e:
+                if on_skip is None:
+                    raise OSError(
+                        f"unreadable corpus file {f}: {e}; skipping would"
+                        f" silently shift shard assignment of every later"
+                        f" document (pass on_skip=... to opt in)"
+                    ) from e
+                on_skip(f, e)
                 continue
+            yield text
 
 
 @dataclass

@@ -1077,6 +1077,15 @@ class TpuTokenizer(TikTokenizer):
                     self.stats.unique_pieces += n_fused
                     self.stats.host_wave_pieces += n_fused
                     self.stats.fused_pieces += n_fused
+                    # INTENTIONAL: fused chunks do not update _host_pp.
+                    # The fused merge is the SAME C++ merge the host-wave
+                    # path times (bpe_merge_core), inlined into the scan,
+                    # so _host_pp from unfused waves remains a valid
+                    # estimator of host merge cost; the fused call's own
+                    # wall time also includes the scan and would overprice
+                    # the host route.  The exploration counter bumps once
+                    # per chunk (not per wave) because a fused chunk IS
+                    # one host-resolved wave from the router's view.
                     self._host_waves_since_dev += 1
                 self._note_news_rate(len(buf), n_fused + len(news[0]))
             else:
@@ -1241,11 +1250,49 @@ class TpuTokenizer(TikTokenizer):
         deferred = None
         pool = ThreadPoolExecutor(max_workers=1)
 
+        def guard(sample: bool):
+            """Debug-only snapshot of the cross-thread invariant the
+            overlap rests on (fail-loud, mirroring check_uid_generation):
+            while a deferred chunk is in flight, no writer may reset the
+            split context (dedup flush) or rewind/mutate the resolved
+            row prefix — split(k+1) only APPENDS rows.  Captures the row
+            high-water mark, context identity, and (host route only,
+            where every row below the mark is already resolved) a tail
+            sample of resolved row lengths; resolve() re-checks them.
+            The device route skips the sample because finishing its wave
+            legitimately writes rows below the mark."""
+            if not __debug__:
+                return None
+            hwm = self._n_rows
+            tail = (
+                self._row_len[max(hwm - 64, 0) : hwm].copy()
+                if sample
+                else None
+            )
+            return (self._split_ctx, hwm, tail)
+
+        def check_guard(g):
+            if g is None:
+                return
+            ctx, hwm, tail = g
+            assert self._split_ctx is ctx, (
+                "split context replaced while a deferred chunk was in "
+                "flight (dedup flush at an unsafe point?)"
+            )
+            assert self._n_rows >= hwm and len(self._row_len) >= hwm, (
+                "row high-water mark rewound under a deferred chunk"
+            )
+            assert tail is None or np.array_equal(
+                self._row_len[max(hwm - 64, 0) : hwm], tail
+            ), "resolved row prefix mutated under a deferred chunk"
+
         def resolve(d):
             if d[0] == "host":
+                check_guard(d[2])
                 return d[1].result()
-            _, pstate, phandle = d
+            _, pstate, phandle, g = d
             self._finish_new_piece_rows(phandle)
+            check_guard(g)
             return self._native_assemble_phase(pstate)
 
         try:
@@ -1269,9 +1316,10 @@ class TpuTokenizer(TikTokenizer):
                     deferred = (
                         "host",
                         pool.submit(self._native_assemble_phase, state),
+                        guard(sample=True),
                     )
                 else:
-                    deferred = ("dev", state, handle)
+                    deferred = ("dev", state, handle, guard(sample=False))
             if deferred is not None:
                 yield resolve(deferred)
         finally:
