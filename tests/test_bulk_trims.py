@@ -137,3 +137,23 @@ def test_fuzz_trim_parity(tpu_tok, host_tok):
         )[0]
         ep = host_tok.encode_trim_prefix(text, budget, allowed_special=allowed)
         assert (gp.token_ids, gp.text) == tuple(ep), (text, budget, allowed)
+
+
+def test_trim_batch_is_budget_aware(tpu_tok, host_tok):
+    """A small-budget trim over a large doc must not materialize the
+    full id stream (VERDICT r3 next #5): tokens_out advances by about
+    the budget, not the document's token count."""
+    doc = ("budget aware trims never assemble everything " * 64 + "\n") * 64
+    base = tpu_tok.stats.tokens_out
+    got = tpu_tok.encode_trim_suffix_batch([doc], 8)[0]
+    grew = tpu_tok.stats.tokens_out - base
+    assert grew <= 64, f"suffix trim assembled {grew} ids for budget 8"
+    expect = host_tok.encode_trim_suffix(doc, 8)
+    assert (got.token_ids, got.text) == tuple(expect)
+
+    base = tpu_tok.stats.tokens_out
+    gp = tpu_tok.encode_trim_prefix_batch([doc], 8)[0]
+    grew = tpu_tok.stats.tokens_out - base
+    assert grew <= 64, f"prefix trim assembled {grew} ids for budget 8"
+    ep = host_tok.encode_trim_prefix(doc, 8)
+    assert (gp.token_ids, gp.text) == tuple(ep)

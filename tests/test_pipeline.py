@@ -177,6 +177,34 @@ def test_bulk_decode_matches_host(tok):
     weird = ids + [987654, -3]
     assert tok.decode(weird) == host.decode(weird)
 
+
+def test_decode_batch_single_gather(tok):
+    """decode_batch == per-text decode, through the flattened gather.
+
+    Includes empty texts, unknown ids, and a lone continuation-byte id
+    at a text boundary: U+FFFD replacement must stay per-text."""
+    from tokenizer_tpu import create_by_encoder_name
+
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    texts = [
+        "bulk decode ⭐ parity 123! " * 12,
+        "",
+        "second doc's ids — unicode ✓ and bytes",
+        "third " * 50,
+    ]
+    batch = [host.encode(t) for t in texts]
+    batch[0] = batch[0] + [987654]  # unknown id skipped
+    # id 447 in gpt2 is a mid-sequence byte piece; appending a bare
+    # continuation byte token makes trailing invalid UTF-8.
+    bad = host.encode("⭐")[:1]  # first id of a multi-byte char
+    batch.insert(2, bad)
+    want = [host.decode(ids) for ids in batch]
+    got = tok.decode_batch(batch)
+    assert got == want
+    # Small total falls back to the per-text path; equality still holds.
+    small = [[ids[0]] for ids in batch if ids]
+    assert tok.decode_batch(small) == [host.decode(i) for i in small]
+
 def test_all_sum_multiprocess_contract(monkeypatch):
     """Shape of the multi-process path: per-process vectors gather to
     [P, K] and sum across P (exercised single-process via monkeypatch;
