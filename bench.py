@@ -164,12 +164,10 @@ def e2e_bench(tok, docs, cycles: int = 3, chunk_docs: int = 512):
         for _batch in tok.encode_batch_stream(chunks):
             pass
         steady = min(steady, time.perf_counter() - t0)
-    # Second genuinely-cold pass (dedup flushed) for hypervisor-steal
+    # Second genuinely-cold pass (BOTH dedup generations dropped —
+    # rotation alone keeps the old bank warm) for hypervisor-steal
     # spike rejection — min-of-2, same spirit as steady's min-of-cycles.
-    saved = tok._max_unique_rows
-    tok._max_unique_rows = 0
-    tok._maybe_reset_dedup()
-    tok._max_unique_rows = saved
+    tok._reset_dedup_full()
     t0 = time.perf_counter()
     for _batch in tok.encode_batch_stream(chunks):
         pass

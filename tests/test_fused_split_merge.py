@@ -157,7 +157,7 @@ def test_split_merge_batch_low_level(host):
     row_len = np.zeros(64, np.int32)
     row_u16 = np.zeros(64, np.int32)
     uid_rows = np.full(64, -9, np.int32)
-    uids, offs, counts, news, n_rows, n_fused = ctx.split_merge_batch(
+    uids, offs, counts, news, n_rows, n_fused, n_copied = ctx.split_merge_batch(
         data,
         np.array([0]),
         np.array([len(data)]),

@@ -175,8 +175,26 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,  # uid_cap
                 ctypes.POINTER(ctypes.c_int64),  # row_next (in/out)
                 ctypes.POINTER(ctypes.c_int64),  # n_fused (out)
+                ctypes.c_void_p,  # old_ctx (nullable, frozen)
+                ctypes.c_void_p,  # old_uid_rows
+                ctypes.c_void_p,  # old_rows
+                ctypes.c_void_p,  # old_row_len
+                ctypes.c_void_p,  # old_row_u16
+                ctypes.c_int64,  # old_row_width
+                ctypes.c_int64,  # old_n_rows
+                ctypes.POINTER(ctypes.c_int64),  # n_copied (out, nullable)
             ]
         )
+        lib.tt_ctx_lookup_spans.restype = None
+        lib.tt_ctx_lookup_spans.argtypes = [
+            ctypes.c_void_p,  # ctx (frozen)
+            ctypes.c_void_p,  # blob
+            ctypes.c_void_p,  # starts
+            ctypes.c_void_p,  # ends
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # blob_len
+            ctypes.c_void_p,  # out_uids
+        ]
         lib.tt_gather_bytes.restype = ctypes.c_int64
         lib.tt_gather_bytes.argtypes = [
             ctypes.c_void_p,
@@ -235,7 +253,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_void_p,  # out_counts
         ]
-        if lib.tt_abi_version() != 8:
+        if lib.tt_abi_version() != 9:
             return None
         _LIB = lib
         return _LIB
@@ -463,6 +481,7 @@ class SplitContext:
         uid_rows: np.ndarray,
         n_rows: int,
         nthreads: int = 0,
+        old_gen=None,
     ):
         """:meth:`split_batch` + fused first-seen merge (cold path).
 
@@ -472,10 +491,16 @@ class SplitContext:
         scatter pass.  Pieces that cannot be fused (row/uid capacity,
         or a merge wider than a row) come back in ``news`` exactly as
         from :meth:`split_batch`.  Returns ``(piece_uid_buffer,
-        seg_offsets, seg_counts, news, new_n_rows, n_fused)``; the
-        caller commits ``new_n_rows`` as its row high-water mark.  The
-        same buffer-OWNERSHIP/generation contract as split_batch
+        seg_offsets, seg_counts, news, new_n_rows, n_fused, n_copied)``;
+        the caller commits ``new_n_rows`` as its row high-water mark.
+        The same buffer-OWNERSHIP/generation contract as split_batch
         applies.
+
+        ``old_gen`` (optional) is a FROZEN retired dedup generation
+        ``(ctx, uid_rows, rows, row_len, row_u16, n_rows)``: first-seen
+        pieces probe it lock-free and copy already-resolved rows instead
+        of re-merging (generational eviction); ``n_copied`` counts the
+        copies.
         """
         if nthreads <= 0:
             nthreads = default_threads()
@@ -489,6 +514,7 @@ class SplitContext:
                 empty_news,
                 n_rows,
                 0,
+                0,
             )
         seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
         seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
@@ -501,7 +527,22 @@ class SplitContext:
         n_new = ctypes.c_int64(0)
         row_next = ctypes.c_int64(int(n_rows))
         n_fused = ctypes.c_int64(0)
+        n_copied = ctypes.c_int64(0)
         assert rows.flags.c_contiguous and rows.dtype == np.int32
+        if old_gen is not None:
+            octx, ouid_rows, orows, orow_len, orow_u16, on_rows = old_gen
+            assert orows.flags.c_contiguous and orows.dtype == np.int32
+            old_args = (
+                octx._ctx,
+                ouid_rows.ctypes.data_as(ctypes.c_void_p),
+                orows.ctypes.data_as(ctypes.c_void_p),
+                orow_len.ctypes.data_as(ctypes.c_void_p),
+                orow_u16.ctypes.data_as(ctypes.c_void_p),
+                orows.shape[1],
+                int(on_rows),
+            )
+        else:
+            old_args = (None, None, None, None, None, 0, 0)
         rc = self._lib.tt_ctx_split_merge_batch(
             self._ctx,
             data,
@@ -531,6 +572,8 @@ class SplitContext:
             len(uid_rows),
             ctypes.byref(row_next),
             ctypes.byref(n_fused),
+            *old_args,
+            ctypes.byref(n_copied),
         )
         if rc < 0:
             raise RuntimeError(_errmsg("tt_ctx_split_merge_batch", rc))
@@ -548,7 +591,34 @@ class SplitContext:
             news,
             int(row_next.value),
             int(n_fused.value),
+            int(n_copied.value),
         )
+
+    def lookup_spans(
+        self, blob, starts: np.ndarray, ends: np.ndarray
+    ) -> np.ndarray:
+        """Probe-only batched lookup: uid of each span, -1 when absent.
+
+        Valid on a FROZEN context (no concurrent inserts) — used to
+        resurrect retired-generation rows during generational dedup
+        eviction.  Never interns anything.
+        """
+        n = len(starts)
+        out = np.empty(n, dtype=np.int32)
+        if n == 0:
+            return out
+        starts = np.ascontiguousarray(starts, dtype=np.int64)
+        ends = np.ascontiguousarray(ends, dtype=np.int64)
+        self._lib.tt_ctx_lookup_spans(
+            self._ctx,
+            blob,
+            starts.ctypes.data_as(ctypes.c_void_p),
+            ends.ctypes.data_as(ctypes.c_void_p),
+            n,
+            len(blob),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
 
 
 def bpe_encode(piece: bytes, table) -> np.ndarray:

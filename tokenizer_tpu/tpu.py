@@ -87,8 +87,13 @@ class TpuStats:
     fused_pieces: int = 0
     specials: int = 0
     tokens_out: int = 0
-    #: bounded-memory flushes of the dedup state (max_unique_rows).
+    #: bounded-memory generation rotations of the dedup state
+    #: (max_unique_rows): the current generation is frozen as the "old"
+    #: bank and a fresh one starts; the previous old bank drops.
     dedup_resets: int = 0
+    #: pieces resurrected from the frozen old generation by ROW COPY
+    #: (no re-merge) after a rotation — the smooth-degradation path.
+    dedup_gen_copies: int = 0
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -120,12 +125,20 @@ class TpuTokenizer(TikTokenizer):
         ``max_unique_rows`` bounds the dedup state (the TPU build's
         LRU-cache analogue — but the reference LRU EVICTS at 8192
         entries while the dedup rows otherwise grow forever: a 1 GB
-        diverse corpus would pin GBs of row matrix).  When the resolved
-        row count exceeds the bound, the interning context and row
-        matrix are flushed at the next SAFE point (never mid-stream
-        while a batch is in flight); output is unaffected — dedup is a
-        cache, and ``stats.dedup_resets`` counts the flushes.  Default
-        1M rows ~= 512 MB worst case.
+        diverse corpus would pin GBs of row matrix).  Eviction is
+        GENERATIONAL (the reference's incremental LRU eviction,
+        LRUCache.cs:99-117, reformulated for the flat row matrix): when
+        the current generation exceeds ``max_unique_rows // 2`` resolved
+        rows, it is FROZEN as the old bank at the next SAFE point (never
+        mid-stream while a batch is in flight), a fresh generation
+        starts, and the previous old bank drops — total live rows stay
+        <= ``max_unique_rows``.  Pieces still hot after a rotation
+        resurrect from the frozen bank by ROW COPY (lock-free probe + one
+        memcpy, ``stats.dedup_gen_copies``) instead of re-merging, so a
+        >1M-unique stream degrades smoothly instead of sawtoothing
+        through fully cold chunks.  ``stats.dedup_resets`` counts
+        rotations.  Output is unaffected — dedup is a cache.  Default
+        1M rows ~= 512 MB worst case across both banks.
         """
         super().__init__(ranks_or_path, special_tokens, pattern, cache_size)
         self.table = self.vocab.pair_table()
@@ -153,6 +166,11 @@ class TpuTokenizer(TikTokenizer):
         self._ovf_pool = np.empty(4096, dtype=np.int32)
         self._ovf_len = 0
         self._max_unique_rows = int(max_unique_rows)
+        #: frozen previous dedup generation, or None: (split_ctx,
+        #: uid_rows, rows, row_len, row_u16, ovf_pool, n_rows).  Probed
+        #: lock-free on first-seen pieces; rows copy over instead of
+        #: re-merging (generational eviction — see class docstring).
+        self._old_gen: Optional[tuple] = None
 
         # Native (C++) split+dedup fast path: active when the library
         # builds and the pattern is one of the three known generations.
@@ -235,18 +253,40 @@ class TpuTokenizer(TikTokenizer):
         self._n_rows = need
         return start
 
+    def _gen_rows_bound(self) -> int:
+        """Per-generation row bound: half the total so two live banks
+        (current + frozen old) never exceed ``max_unique_rows``."""
+        return max(self._max_unique_rows // 2, 1)
+
     def _maybe_reset_dedup(self) -> None:
-        """Flush the dedup state when it exceeds the memory bound.
+        """Rotate the dedup generations when the current one is full.
 
         ONLY call at safe points: no split-phase state may be in flight
-        (its uid buffer maps through the context being replaced).
-        Correctness is unaffected — the dedup is a cache; every piece
-        re-interns on next sight.  The reference analogue is the LRU's
-        eviction (LRUCache.cs:99), traded here for a bulk flush because
-        per-row eviction would fight the flat row-matrix layout.
+        (its uid buffer maps through the context being rotated out).
+        The current generation — interning context + row bank — is
+        FROZEN as ``_old_gen`` (probe-only from here on), a fresh
+        generation starts, and the previous old bank drops.  Hot pieces
+        resurrect from the frozen bank by row copy on next sight, so the
+        stream degrades smoothly like the reference's incremental LRU
+        eviction (LRUCache.cs:99-117); per-row in-place eviction would
+        fight the flat row-matrix layout.  Correctness is unaffected —
+        the dedup is a cache.
         """
-        if self._n_rows <= self._max_unique_rows:
+        if self._n_rows <= self._gen_rows_bound():
             return
+        self._old_gen = (
+            (
+                self._split_ctx,
+                self._uid_rows,
+                self._rows,
+                self._row_len,
+                self._row_u16,
+                self._ovf_pool,
+                self._n_rows,
+            )
+            if self._split_ctx is not None
+            else None
+        )
         self._piece_rows = {}
         self._special_rows = {}
         self._rows = np.zeros((_INIT_ROWS, _MAX_OUT), dtype=np.int32)
@@ -258,6 +298,20 @@ class TpuTokenizer(TikTokenizer):
         self._uid_rows = np.empty(_INIT_ROWS, dtype=np.int32)
         self._split_ctx = None  # rebuilt (fresh uids) on next use
         self.stats.dedup_resets += 1
+
+    def _reset_dedup_full(self) -> None:
+        """Drop BOTH dedup generations (a genuinely cold state).
+
+        Operational/benchmark hook: rotation deliberately keeps the old
+        bank warm, so a "measure cold" harness must clear it too.
+        """
+        saved = self._max_unique_rows
+        self._max_unique_rows = 0
+        try:
+            self._maybe_reset_dedup()
+        finally:
+            self._max_unique_rows = saved
+        self._old_gen = None
 
     def _oracle_piece(self, pbytes: bytes):
         """Host-oracle piece resolution: whole-piece hit, then BPE loop.
@@ -992,7 +1046,59 @@ class TpuTokenizer(TikTokenizer):
                 rows, starts, ends = rows[keep], starts[keep], ends[keep]
             if len(rows) == 0:
                 return None
+        rows, starts, ends = self._resurrect_old_gen(buf, rows, starts, ends)
+        if len(rows) == 0:
+            return None
         return (rows, starts, ends, buf)
+
+    def _old_gen_native(self):
+        """The frozen old generation in split_merge_batch's layout
+        (ctx, uid_rows, rows, row_len, row_u16, n_rows), or None."""
+        og = self._old_gen
+        if og is None:
+            return None
+        octx, ouid_rows, orows, orow_len, orow_u16, _oovf, on_rows = og
+        return (octx, ouid_rows, orows, orow_len, orow_u16, on_rows)
+
+    def _resurrect_old_gen(self, buf, rows, starts, ends):
+        """Copy already-resolved rows from the frozen old generation.
+
+        Probes the retired interning context (lock-free — frozen, no
+        writers) for each first-seen span; hits copy their id row,
+        length, and overflow ids across in bulk, never re-merging.
+        Returns the filtered (rows, starts, ends) still needing a merge.
+        """
+        og = self._old_gen
+        if og is None or len(rows) == 0:
+            return rows, starts, ends
+        octx, ouid_rows, orows, orow_len, _orow_u16, oovf, on_rows = og
+        ouids = octx.lookup_spans(buf, starts, ends)
+        hit = np.nonzero(ouids >= 0)[0]
+        if hit.size == 0:
+            return rows, starts, ends
+        orr = ouid_rows[ouids[hit]].astype(np.int64)
+        ok = (orr >= 0) & (orr < on_rows)
+        hit, orr = hit[ok], orr[ok]
+        if hit.size == 0:
+            return rows, starts, ends
+        m = orow_len[orr]
+        norm = m >= 0
+        nsel = np.nonzero(norm)[0]
+        if nsel.size:
+            dst = rows[hit[nsel]].astype(np.int64)
+            self._rows[dst] = orows[orr[nsel]]
+            self._row_len[dst] = m[nsel]
+        for t in np.nonzero(~norm)[0]:  # retired overflow rows: rare
+            r = int(rows[hit[t]])
+            o_r = int(orr[t])
+            k = -int(m[t]) - 1
+            s = int(orows[o_r, 0])
+            self._spill_overflow(r, oovf[s : s + k])
+        self.stats.dedup_gen_copies += hit.size
+        self.stats.unique_pieces += hit.size
+        miss = np.ones(len(rows), bool)
+        miss[hit] = False
+        return rows[miss], starts[miss], ends[miss]
 
     def _assemble_overflow_segment(
         self, uid_buf, seg_offs, seg_counts, k: int
@@ -1082,6 +1188,7 @@ class TpuTokenizer(TikTokenizer):
                     news,
                     new_n_rows,
                     n_fused,
+                    n_copied,
                 ) = self._split_ctx.split_merge_batch(
                     buf,
                     np.asarray(seg_starts),
@@ -1092,8 +1199,10 @@ class TpuTokenizer(TikTokenizer):
                     self._row_u16,
                     self._uid_rows,
                     self._n_rows,
+                    old_gen=self._old_gen_native(),
                 )
                 self._n_rows = new_n_rows
+                self.stats.dedup_gen_copies += n_copied
                 if n_fused:
                     self.stats.unique_pieces += n_fused
                     self.stats.host_wave_pieces += n_fused
@@ -1320,7 +1429,7 @@ class TpuTokenizer(TikTokenizer):
             for texts in batches:
                 if (
                     deferred is not None
-                    and self._n_rows > self._max_unique_rows
+                    and self._n_rows > self._gen_rows_bound()
                 ):
                     # Memory bound hit: drain the pipeline so the dedup
                     # flush below happens at a safe point.
