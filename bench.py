@@ -547,6 +547,89 @@ def device_e2e_forced():
         return {"error": str(ex)[:160]}
 
 
+def scan_threads_bench(docs, cycles: int = 5):
+    """Split-phase (native scan+intern, steady) MB/s at 1/2/4/8 threads.
+
+    The e2e headline is host-scan-bound (VERDICT r3 weak #1), so the
+    scan's thread-scaling curve is the record that matters: this box has
+    ~1.25 effective cores (hypervisor steal), so the 4/8-thread points
+    mostly measure oversubscription here and self-capture real scaling
+    whenever the bench runs on real cores.  Pure scan (no interning) is
+    the per-thread ceiling.
+    """
+    import numpy as np
+
+    from tokenizer_tpu.runtime import native
+
+    if not native.available():
+        return {"error": "native unavailable"}
+    datas = [d.encode("utf-8") for d in docs]
+    buf = b"".join(datas)
+    ends = np.cumsum([len(d) for d in datas], dtype=np.int64)
+    starts = ends - np.array([len(d) for d in datas], dtype=np.int64)
+    n = len(buf)
+
+    def best(f, k=cycles):
+        b = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            f()
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    pure = best(lambda: native.presplit(buf, 2))
+    ctx = native.SplitContext(2)
+    ctx.split_batch(buf, starts, ends, nthreads=1)  # intern (warm-up)
+    points = []
+    for t in (1, 2, 4, 8):
+        b = best(lambda: ctx.split_batch(buf, starts, ends, nthreads=t))
+        points.append(
+            {"threads": t, "MBps": round(n / b / 1e6, 1)}
+        )
+    return {
+        "pure_scan_MBps": round(n / pure / 1e6, 1),
+        "steady_points": points,
+        "bytes": n,
+    }
+
+
+def decode_bench(tok, docs, cycles: int = 5):
+    """Bulk decode throughput (flattened single-gather decode_batch)."""
+    ids = tok.encode_batch(docs)
+    out_bytes = sum(
+        len(t.encode("utf-8", "ignore")) for t in tok.decode_batch(ids)
+    )
+    best = float("inf")
+    for _ in range(cycles):
+        t0 = time.perf_counter()
+        tok.decode_batch(ids)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "decode_MBps": round(out_bytes / best / 1e6, 2),
+        "tokens": int(sum(len(x) for x in ids)),
+        "bytes_out": out_bytes,
+    }
+
+
+def trim_bench(tok, docs, cycles: int = 3, budget: int = 64):
+    """encodeTrimSuffix bulk throughput (the reference perf harness
+    loops encodeTrimSuffix too, benchmark-folder.js:30-35); budget-aware
+    assembly means MB/s here measures split+merge+bookkeeping, not
+    output materialization."""
+    nbytes = _nbytes(docs)
+    tok.encode_trim_suffix_batch(docs[:32], budget)  # warm
+    best = float("inf")
+    for _ in range(cycles):
+        t0 = time.perf_counter()
+        tok.encode_trim_suffix_batch(docs, budget)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "trim_suffix_MBps": round(nbytes / best / 1e6, 2),
+        "budget": budget,
+        "docs": len(docs),
+    }
+
+
 def _e2e_block(tok, docs, nbytes: int, cycles: int):
     """Warm-up on an out-of-sample seed, then cold + steady e2e."""
     tok.encode_batch(gen_corpus(0.5, seed=123))
@@ -636,6 +719,12 @@ def measure():
         )
         o200k = _e2e_block(tok_o, docs, nbytes, cycles)
 
+    note("scan threads")
+    scan_threads = scan_threads_bench(docs, cycles=3 if fast else 5)
+    note("decode")
+    decode = decode_bench(tok_c, docs, cycles=cycles)
+    note("trim")
+    trims = trim_bench(tok_c, docs, cycles=2 if fast else 3)
     note("scaling")
     scaling = [] if fast else scaling_bench()
     note("overlap")
@@ -651,6 +740,9 @@ def measure():
         "cl100k_synthetic": cl100k,
         "gpt2": gpt2,
         "o200k_synthetic": o200k,
+        "scan_threads": scan_threads,
+        "decode": decode,
+        "trim_suffix": trims,
         "overlap_ab": overlap,
         "pallas_ab_smalltable": pallas,
         "scaling_virtual_cpu": scaling,
