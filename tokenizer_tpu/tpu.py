@@ -580,6 +580,10 @@ class TpuTokenizer(TikTokenizer):
                 dt = time.perf_counter() - t0
                 self._dev_pp = dt / LANE
                 self._dev_ready = True
+                # Readiness is published; pre-arm recorded wave combos
+                # in the remaining probe-thread time (see _prearm).
+                self._dev_event.set()
+                self._prearm_wave_fns()
             except Exception:
                 pass  # device unusable: host route keeps serving
             finally:
@@ -716,8 +720,7 @@ class TpuTokenizer(TikTokenizer):
             return None
         if self._native is not None and self.mesh is None:
             self._host_waves_since_dev = 0
-        as_bytes = [buf[int(s) : int(e)] for s, e in zip(starts, ends)]
-        return self._dispatch_device(as_bytes, rows_arr.tolist())
+        return self._dispatch_device_spans(buf, rows_arr, starts, ends)
 
     def _dispatch_new_piece_rows(self, as_bytes: List[bytes], row_ids: List[int]):
         """Pack unseen pieces and dispatch their device merges (async).
@@ -744,6 +747,47 @@ class TpuTokenizer(TikTokenizer):
             self._host_waves_since_dev = 0
         return self._dispatch_device(as_bytes, row_ids)
 
+    def _dispatch_tiles(self, batches):
+        """Dispatch a tile list; returns (pending, fused) per the RPC
+        economy below.
+
+        RPC economy: the tunneled-TPU transport charges ~24 ms per
+        round trip once any device->host transfer has happened
+        (measured: the first d2h flips the channel into a uniform
+        ~24 ms/RPC mode), so per-wave RPC COUNT — not bytes — is the
+        cost driver.  Single-device path: pack every tile into ONE
+        flat host buffer, run every bucket merge inside ONE jit, and
+        return ONE fused output — 3 RPCs per wave (h2d, exec, d2h)
+        regardless of tile count.  Multi-device meshes keep per-tile
+        shard_map calls (fusing would force per-wave resharding
+        collectives, and directly-attached pods don't have the
+        transport quirk).
+        """
+        fused = None
+        pending = None
+        if self.mesh is None and batches:
+            shapes = tuple(b.ids.shape for b in batches)
+            wave_fn = self._wave_fn(shapes)
+            if wave_fn is not None:
+                flat = np.concatenate(
+                    [b.ids.ravel() for b in batches]
+                    + [b.lengths for b in batches]
+                )
+                fused = wave_fn(self._device_tab(), flat)
+        if fused is None:
+            pending = [
+                self._device_merge_async(batch.ids, batch.lengths)
+                for batch in batches
+            ]
+            if self.mesh is None and len(pending) > 1:
+                import jax.numpy as jnp
+
+                fused = jnp.concatenate(
+                    [o.ravel() for o, _ in pending]
+                    + [n.ravel() for _, n in pending]
+                )
+        return pending, fused
+
     def _dispatch_device(self, as_bytes: List[bytes], row_ids):
         import time
 
@@ -754,44 +798,102 @@ class TpuTokenizer(TikTokenizer):
         plan = pack_pieces(
             as_bytes, self.table.byte_to_id, b_quantum=b_quantum
         )
-        # RPC economy: the tunneled-TPU transport charges ~24 ms per
-        # round trip once any device->host transfer has happened
-        # (measured: the first d2h flips the channel into a uniform
-        # ~24 ms/RPC mode), so per-wave RPC COUNT — not bytes — is the
-        # cost driver.  Single-device path: pack every tile into ONE
-        # flat host buffer, run every bucket merge inside ONE jit, and
-        # return ONE fused output — 3 RPCs per wave (h2d, exec, d2h)
-        # regardless of tile count.  Multi-device meshes keep per-tile
-        # shard_map calls (fusing would force per-wave resharding
-        # collectives, and directly-attached pods don't have the
-        # transport quirk).
-        fused = None
-        pending = None
-        if self.mesh is None and plan.batches:
-            shapes = tuple(b.ids.shape for b in plan.batches)
-            wave_fn = self._wave_fn(shapes)
-            if wave_fn is not None:
-                flat = np.concatenate(
-                    [b.ids.ravel() for b in plan.batches]
-                    + [b.lengths for b in plan.batches]
-                )
-                fused = wave_fn(self._device_tab(), flat)
-        if fused is None:
-            pending = [
-                self._device_merge_async(batch.ids, batch.lengths)
-                for batch in plan.batches
-            ]
-            if self.mesh is None and len(pending) > 1:
-                import jax.numpy as jnp
-
-                fused = jnp.concatenate(
-                    [o.ravel() for o, _ in pending]
-                    + [n.ravel() for _, n in pending]
-                )
+        pending, fused = self._dispatch_tiles(plan.batches)
         t_dispatch = time.perf_counter() - t_dispatch0
         return as_bytes, row_ids, plan, pending, fused, t_dispatch
 
-    def _wave_fn(self, shapes: tuple):
+    def _dispatch_device_spans(self, buf, rows_arr, starts, ends):
+        """Span-wave device dispatch: zero per-piece Python.
+
+        The native wave arrives as byte ranges into one buffer;
+        :func:`pack_spans` buckets and fills tiles fully vectorized
+        (measured ~8x the per-piece pack loop) and the finish scatter is
+        array-at-a-time — the per-wave BLOCKING host cost that gates the
+        device route's e2e viability (VERDICT r3 next #2).
+        """
+        import time
+
+        t_dispatch0 = time.perf_counter()
+        b_quantum = self._ensure_device()
+        from .ops.packing import pack_spans
+
+        plan = pack_spans(
+            buf, starts, ends, self.table.byte_to_id, b_quantum=b_quantum
+        )
+        pending, fused = self._dispatch_tiles(plan.batches)
+        t_dispatch = time.perf_counter() - t_dispatch0
+        return (
+            "spans",
+            buf,
+            rows_arr,
+            starts,
+            ends,
+            plan,
+            pending,
+            fused,
+            t_dispatch,
+        )
+
+    # -- wave-shape history (pre-arm) ---------------------------------------
+
+    @staticmethod
+    def _wave_history_path():
+        import os
+        from pathlib import Path
+
+        env = os.environ.get("TOKENIZER_TPU_CACHE_DIR")
+        base = Path(env) if env else Path.home() / ".cache" / "tokenizer_tpu"
+        return base / "wave_shapes.json"
+
+    def _record_wave_shapes(self, shapes: tuple) -> None:
+        """Append a new wave combo to the on-disk MRU history (best
+        effort) so the NEXT run's probe thread can pre-compile it."""
+        try:
+            import json
+
+            p = self._wave_history_path()
+            p.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                hist = json.loads(p.read_text())
+            except Exception:
+                hist = []
+            entry = [[int(L), int(B)] for L, B in shapes]
+            hist = [entry] + [h for h in hist if h != entry]
+            p.write_text(json.dumps(hist[:8]))
+        except Exception:
+            pass
+
+    def _prearm_wave_fns(self) -> None:
+        """Compile the PREVIOUS runs' recorded wave combos — called on
+        the PROBE thread after readiness (never delays it, never blocks
+        the encode path), so a warm pipeline's first device waves hit
+        precompiled code instead of paying 0.4-6 s jit each (VERDICT r3
+        next #2).  The persistent XLA compile cache makes this nearly
+        free on the second and later runs of the same shapes."""
+        try:
+            import json
+
+            hist = json.loads(self._wave_history_path().read_text())
+        except Exception:
+            return
+        for entry in hist[:4]:
+            try:
+                shapes = tuple((int(L), int(B)) for L, B in entry)
+                fn = self._wave_fn(shapes, record=False)
+                if fn is None or not hasattr(fn, "lower"):
+                    continue
+                total = sum(L * B for L, B in shapes) + sum(
+                    B for _L, B in shapes
+                )
+                flat = np.zeros(total, np.int32)
+                compiled = fn.lower(self._device_tab(), flat).compile()
+                # A Compiled is callable with matching shapes — publish
+                # it so real waves skip even the jit-dispatch trace.
+                self._wave_fns[shapes] = compiled
+            except Exception:
+                return  # device gone mid-prearm: host route still serves
+
+    def _wave_fn(self, shapes: tuple, record: bool = True):
         """Jitted all-buckets-in-one merge for a tile-shape combo.
 
         Takes (tab, flat) where ``flat`` is the concatenation of every
@@ -838,35 +940,45 @@ class TpuTokenizer(TikTokenizer):
                 return jnp.concatenate(outs + ns)
 
             self._wave_fns[shapes] = fn
+            if record:
+                self._record_wave_shapes(shapes)
         return fn
 
-    def _finish_new_piece_rows(self, handle) -> None:
-        """Block on dispatched merges and write the resolved rows."""
-        if handle is None:
-            return
-        import time
-
-        as_bytes, row_ids, plan, pending, fused, t_dispatch = handle
-        t_finish0 = time.perf_counter()
-        rows, row_len = self._rows, self._row_len
+    def _bucket_out(self, batches, pending, fused):
+        """Materialize per-tile ([B, L] out_rows, out_n) pairs (one d2h
+        for a fused wave) and count device pieces."""
         bucket_out: List[Tuple[np.ndarray, np.ndarray]] = []
         if fused is not None:
             buf = np.asarray(fused)  # the wave's single d2h
             off = 0
             ids_parts: List[np.ndarray] = []
-            for batch in plan.batches:
+            for batch in batches:
                 L, B = batch.ids.shape
                 ids_parts.append(buf[off : off + L * B].reshape(L, B))
                 off += L * B
-            for batch, arr in zip(plan.batches, ids_parts):
+            for batch, arr in zip(batches, ids_parts):
                 B = batch.ids.shape[1]
                 bucket_out.append((arr.T, buf[off : off + B]))
                 off += B
                 self.stats.device_pieces += batch.n_real
         else:
-            for batch, (out_ids, out_n) in zip(plan.batches, pending):
+            for batch, (out_ids, out_n) in zip(batches, pending):
                 bucket_out.append((np.asarray(out_ids).T, np.asarray(out_n)))
                 self.stats.device_pieces += batch.n_real
+        return bucket_out
+
+    def _finish_new_piece_rows(self, handle) -> None:
+        """Block on dispatched merges and write the resolved rows."""
+        if handle is None:
+            return
+        if handle[0] == "spans":
+            return self._finish_span_rows(handle)
+        import time
+
+        as_bytes, row_ids, plan, pending, fused, t_dispatch = handle
+        t_finish0 = time.perf_counter()
+        rows, row_len = self._rows, self._row_len
+        bucket_out = self._bucket_out(plan.batches, pending, fused)
         for pbytes, r, route in zip(as_bytes, row_ids, plan.route):
             kind = route[0]
             if kind == "direct":
@@ -893,10 +1005,59 @@ class TpuTokenizer(TikTokenizer):
         # d2h+row writes; exec time hidden by overlap is excluded) —
         # feeds the adaptive router.
         dt = t_dispatch + (time.perf_counter() - t_finish0)
-        pp = dt / max(len(as_bytes), 1)
+        self._note_dev_cost(dt, len(as_bytes))
+
+    def _note_dev_cost(self, dt: float, n: int) -> None:
+        pp = dt / max(n, 1)
         self._dev_pp = pp if self._dev_pp is None else (
             0.5 * self._dev_pp + 0.5 * pp
         )
+
+    def _finish_span_rows(self, handle) -> None:
+        """Vectorized finish for a span wave: array-at-a-time row
+        scatter, no per-piece Python (the finish half of VERDICT r3
+        next #2's blocking-cost cut)."""
+        import time
+
+        _, buf, rows_arr, starts, ends, plan, pending, fused, t_dispatch = (
+            handle
+        )
+        t_finish0 = time.perf_counter()
+        bucket_out = self._bucket_out(plan.batches, pending, fused)
+        dst_all = rows_arr.astype(np.int64)
+        if plan.direct_idx.size:
+            dst = dst_all[plan.direct_idx]
+            ids = plan.direct_ids
+            ok = ids >= 0
+            self._rows[dst, 0] = np.where(ok, ids, 0)
+            self._row_len[dst] = ok.astype(np.int32)
+        for batch, pidx, (out_rows, out_n) in zip(
+            plan.batches, plan.batch_piece_idx, bucket_out
+        ):
+            nr = batch.n_real
+            k = np.asarray(out_n[:nr], dtype=np.int32)
+            dst = dst_all[pidx]
+            W = min(out_rows.shape[1], _MAX_OUT)
+            small = k <= _MAX_OUT
+            if small.all():
+                # Full-width block copy; cells beyond each row's length
+                # carry merge padding but row_len gates every read.
+                self._rows[dst, :W] = out_rows[:nr, :W]
+                self._row_len[dst] = k
+            else:
+                sm = np.nonzero(small)[0]
+                self._rows[dst[sm], :W] = out_rows[sm, :W]
+                self._row_len[dst[sm]] = k[sm]
+                for t in np.nonzero(~small)[0]:
+                    self._spill_overflow(
+                        int(dst[t]), out_rows[t, : int(k[t])]
+                    )
+        for i in plan.host_idx:  # oversized pieces: rare, counted
+            pb = buf[int(starts[i]) : int(ends[i])]
+            self._store_row(int(rows_arr[i]), self._oracle_piece(pb))
+            self.stats.host_fallback_pieces += 1
+        dt = t_dispatch + (time.perf_counter() - t_finish0)
+        self._note_dev_cost(dt, len(rows_arr))
 
     def _resolve_new_piece_rows(
         self, as_bytes: List[bytes], row_ids: List[int]
