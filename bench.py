@@ -421,7 +421,26 @@ for _ in range(5):
     t0 = time.perf_counter()
     jax.block_until_ready(fn(tab, ids, lengths))
     best = min(best, time.perf_counter() - t0)
-print(json.dumps({"n": n, "step_ms": round(best * 1e3, 2), "per_dev_pieces": per_dev}))
+
+# Mesh wave fusion A/B (VERDICT r3 next #8): a 4-tile wave dispatched
+# per-tile vs inside ONE jit — the dispatch-count economy the sharded
+# path now shares with the single-device path.
+K = 4
+def sep():
+    jax.block_until_ready([fn(tab, ids, lengths) for _ in range(K)])
+@jax.jit
+def fused(tab, *args):
+    return tuple(fn(tab, i, l) for i, l in zip(args[:K], args[K:]))
+args = tuple([ids] * K + [lengths] * K)
+jax.block_until_ready(fused(tab, *args))
+sep()
+b_sep = b_fus = float("inf")
+for _ in range(5):
+    t0 = time.perf_counter(); sep(); b_sep = min(b_sep, time.perf_counter() - t0)
+    t0 = time.perf_counter(); jax.block_until_ready(fused(tab, *args)); b_fus = min(b_fus, time.perf_counter() - t0)
+print(json.dumps({"n": n, "step_ms": round(best * 1e3, 2), "per_dev_pieces": per_dev,
+                  "wave4_separate_ms": round(b_sep * 1e3, 2),
+                  "wave4_fused_ms": round(b_fus * 1e3, 2)}))
 """
 
 

@@ -203,6 +203,9 @@ class TpuTokenizer(TikTokenizer):
         self._b_quantum: Optional[int] = None
         #: wave-fused jit fns keyed by the wave's tile-shape combo.
         self._wave_fns: Dict[tuple, object] = {}
+        #: mesh-path analogue: one jit per combo running every tile's
+        #: shard_map merge in a single dispatch (VERDICT r3 next #8).
+        self._mesh_wave_fns: Dict[tuple, object] = {}
         # -- adaptive wave routing (single-device path) -------------------
         #: False until the background channel probe completes one tiny
         #: merge INCLUDING a device->host transfer.  The tunneled-TPU
@@ -765,6 +768,23 @@ class TpuTokenizer(TikTokenizer):
         """
         fused = None
         pending = None
+        if self.mesh is not None and len(batches) > 1:
+            # Mesh wave fusion (VERDICT r3 next #8): run every tile's
+            # shard_map merge inside ONE jit call — one dispatch per
+            # wave instead of per tile, the same RPC/dispatch economy
+            # the single-device path already has.  Legal because tiles
+            # are independent and each keeps its own [data-sharded B]
+            # layout; no cross-tile resharding is introduced.
+            wave_fn = self._mesh_wave_fn(
+                tuple(b.ids.shape for b in batches)
+            )
+            if wave_fn is not None:
+                outs = wave_fn(
+                    self._device_tab(),
+                    *[b.ids for b in batches],
+                    *[b.lengths for b in batches],
+                )
+                return list(outs), None
         if self.mesh is None and batches:
             shapes = tuple(b.ids.shape for b in batches)
             wave_fn = self._wave_fn(shapes)
@@ -833,6 +853,48 @@ class TpuTokenizer(TikTokenizer):
             fused,
             t_dispatch,
         )
+
+    def _mesh_wave_fn(self, shapes: tuple):
+        """One-jit-per-wave merge for the SHARDED path.
+
+        Each tile runs its own shard_map body (B sharded over "data",
+        table replicated) inside a single jit, so a k-tile wave costs
+        one dispatch.  Combo cache bounded like :meth:`_wave_fn`.
+        """
+        fn = self._mesh_wave_fns.get(shapes)
+        if fn is None:
+            if len(self._mesh_wave_fns) >= 16:
+                return None
+            from functools import partial as _partial
+
+            import jax
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.encode_step import sharded_merge_step
+
+            body = _partial(
+                sharded_merge_step,
+                slot_bits=self.table.slot_bits,
+                max_probes=self.table.max_probes,
+            )
+            mapped = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(), P(None, "data"), P("data")),
+                out_specs=(P(None, "data"), P("data"), P()),
+            )
+            k = len(shapes)
+
+            @jax.jit
+            def fn(tab, *args):
+                outs = []
+                for ids, lengths in zip(args[:k], args[k:]):
+                    o, n, _c = mapped(tab, ids, lengths)
+                    outs.append((o, n))
+                return tuple(outs)
+
+            self._mesh_wave_fns[shapes] = fn
+        return fn
 
     # -- wave-shape history (pre-arm) ---------------------------------------
 

@@ -43,13 +43,16 @@ def default_cache_dir() -> Path:
 
 
 #: Directories searched (in order) for `<name>.tiktoken` before any network
-#: fetch.  The repo's own vocab/ dir vendors gpt2 like the reference's
-#: in-repo model/gpt2.tiktoken.
+#: fetch.  tokenizer_tpu/assets/ vendors gpt2 INSIDE the package (ships
+#: in the wheel — the reference vendors model/gpt2.tiktoken the same
+#: way); the repo-root vocab/ dir carries dev-only assets (synthetic
+#: scale vocabs, maintainer-vendored rank files).
 def _vocab_search_dirs() -> list:
     dirs = []
     env = os.environ.get("TOKENIZER_TPU_VOCAB_DIR")
     if env:
         dirs.append(Path(env))
+    dirs.append(Path(__file__).resolve().parent / "assets")
     repo_vocab = Path(__file__).resolve().parent.parent / "vocab"
     dirs.append(repo_vocab)
     dirs.append(default_cache_dir())
