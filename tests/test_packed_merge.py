@@ -166,3 +166,66 @@ def test_pack_pieces_routing(toy):
     # force_host routes listed pieces to the oracle.
     plan2 = pack_pieces(pieces, table.byte_to_id, force_host={b"ab"})
     assert plan2.route[2][0] == "host"
+
+
+def test_pack_spans_matches_pack_pieces(gpt2_pair_table):
+    """pack_spans must produce byte-identical tiles + routing to the
+    per-piece pack_pieces loop on an arbitrary mixed wave."""
+    import numpy as np
+
+    from tokenizer_tpu.ops.packing import pack_pieces, pack_spans
+
+    rng = np.random.default_rng(3)
+    pieces = []
+    for k in range(500):
+        n = int(rng.choice([1, 2, 3, 5, 8, 15, 40, 100, 300, 600]))
+        pieces.append(bytes(rng.integers(32, 120, n, dtype=np.uint8)))
+    pieces.append(b"")  # empty -> direct -1
+    buf = b"".join(pieces)
+    ends = np.cumsum([len(p) for p in pieces]).astype(np.int64)
+    starts = ends - np.array([len(p) for p in pieces], dtype=np.int64)
+    p1 = pack_pieces(pieces, gpt2_pair_table.byte_to_id)
+    p2 = pack_spans(buf, starts, ends, gpt2_pair_table.byte_to_id)
+    assert len(p1.batches) == len(p2.batches)
+    for a, b in zip(p1.batches, p2.batches):
+        assert a.ids.shape == b.ids.shape and a.n_real == b.n_real
+        assert np.array_equal(a.ids, b.ids)
+        assert np.array_equal(a.lengths, b.lengths)
+    # Routing parity: per-piece destination classes agree.
+    for i, p in enumerate(pieces):
+        r = p1.route[i]
+        if r[0] == "direct":
+            j = np.nonzero(p2.direct_idx == i)[0]
+            assert j.size == 1 and p2.direct_ids[j[0]] == r[1]
+        elif r[0] == "host":
+            assert i in p2.host_idx
+        else:
+            _, bi, col = r
+            assert p2.batch_piece_idx[bi][col] == i
+
+
+def test_pack_spans_degenerate_waves(gpt2_pair_table):
+    import numpy as np
+
+    from tokenizer_tpu.ops.packing import pack_spans
+
+    # All-direct wave: no tiles.
+    buf = b"abcd"
+    starts = np.arange(4, dtype=np.int64)
+    ends = starts + 1
+    plan = pack_spans(buf, starts, ends, gpt2_pair_table.byte_to_id)
+    assert not plan.batches and plan.direct_idx.size == 4
+    assert plan.host_idx.size == 0
+    # All-oversized wave: everything host.
+    big = b"x" * 600
+    plan = pack_spans(
+        big, np.array([0], np.int64), np.array([600], np.int64),
+        gpt2_pair_table.byte_to_id,
+    )
+    assert not plan.batches and plan.host_idx.size == 1
+    # Empty wave.
+    plan = pack_spans(
+        b"", np.empty(0, np.int64), np.empty(0, np.int64),
+        gpt2_pair_table.byte_to_id,
+    )
+    assert not plan.batches and plan.direct_idx.size == 0
