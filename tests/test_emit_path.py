@@ -1,0 +1,168 @@
+"""The fused scan+merge+EMIT path (one native pass, no assemble).
+
+Differential tests against the host oracle AND the classic two-phase
+path: the emit route must be bit-identical through holes (deferred
+pieces), overflow rows, specials, generational rotation, and the
+patch-overflow fallback.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from conftest import require_vocab
+
+
+@pytest.fixture()
+def toks(gpt2_vocab):
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tpu = TpuTokenizer(
+        gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None
+    )
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+    return tpu, host
+
+
+def _word(tag, j):
+    h = hashlib.blake2b(f"{tag}:{j}".encode(), digest_size=6).digest()
+    return "".join(chr(97 + b % 26) for b in h)
+
+
+def test_emit_route_taken_and_exact(toks):
+    tpu, host = toks
+    texts = [
+        "Hello World, the emit path encodes in one pass.",
+        "",
+        "unicode ⭐ étoile 你好 💩 12345 'll 'VE",
+        " ".join(_word("a", j) for j in range(300)),
+        "trailing spaces   \n\n mixed \r\n",
+    ]
+    got = tpu.encode_batch(texts)
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t), t[:40]
+    # The route was actually the emit one: zero assemble calls means
+    # tokens_out was counted by the emit path (fused pieces > 0).
+    assert tpu.stats.fused_pieces > 0
+
+
+def test_emit_specials_interleaved(toks):
+    tpu, host = toks
+    texts = [
+        "x<|endoftext|>y<|endoftext|>z tail",
+        "<|endoftext|>",
+        "<|endoftext|>lead",
+        "no specials here",
+        "tail<|endoftext|>",
+    ]
+    got = tpu.encode_batch(texts, allowed_special="all")
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t, allowed_special="all"), t
+
+
+def test_emit_overflow_rows(toks):
+    """Long CJK pieces produce overflow rows (> row width ids); the
+    emit path must read them from the pool inline."""
+    tpu, host = toks
+    big = "好" * 400  # one ~1200-byte piece, low merge rate on gpt2
+    texts = [f"before {big} after", big]
+    got = tpu.encode_batch(texts)
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t)
+    # Second sight: the overflow row resolves from the pool (steady).
+    got2 = tpu.encode_batch(texts)
+    for g, t in zip(got2, texts):
+        assert list(g) == host.encode(t)
+
+
+def test_emit_holes_via_capacity_pressure(toks, monkeypatch):
+    """Force deferrals: clamp the fused row reserve so first-seen
+    pieces can't all fuse inline -> holes -> backfill+compact."""
+    tpu, host = toks
+    import tokenizer_tpu.tpu as T
+
+    # Make _prepare_fused_capacity reserve almost nothing.
+    def tiny_prepare(nbytes):
+        pass  # no pre-grow: the C++ defers once rows/uids fill
+
+    monkeypatch.setattr(tpu, "_prepare_fused_capacity", tiny_prepare)
+    # Exhaust current row capacity margin first.
+    texts = [" ".join(_word(f"h{k}", j) for j in range(400)) for k in range(6)]
+    got = tpu.encode_batch(texts)
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t), "hole backfill parity"
+
+
+def test_emit_patch_overflow_falls_back(toks, monkeypatch):
+    """A patch-scratch overflow must recover: news still registered,
+    classic path redone, output exact, and later calls keep working."""
+    tpu, host = toks
+    ctx_cls = type(tpu._native.SplitContext(1))
+    monkeypatch.setattr(ctx_cls, "_PATCH_CAP", 1)
+    monkeypatch.setattr(tpu, "_prepare_fused_capacity", lambda n: None)
+    texts = [" ".join(_word(f"p{k}", j) for j in range(300)) for k in range(4)]
+    got = tpu.encode_batch(texts)
+    for g, t in zip(got, texts):
+        assert list(g) == host.encode(t)
+    # Steady retry works (uids all have rows).
+    got2 = tpu.encode_batch(texts)
+    for g, t in zip(got2, texts):
+        assert list(g) == host.encode(t)
+
+
+def test_emit_with_generational_rotation(toks):
+    tpu, host = toks
+    tpu._max_unique_rows = 1200  # per-gen bound 600
+    hot = [_word("hot", j) for j in range(250)]
+    for ci in range(6):
+        fresh = [_word(f"r{ci}", j) for j in range(200)]
+        text = " ".join(hot + fresh)
+        got = tpu.encode_batch([text])[0]
+        assert list(got) == host.encode(text), f"chunk {ci}"
+    assert tpu.stats.dedup_resets >= 1
+    assert tpu.stats.dedup_gen_copies > 0
+
+
+def test_emit_stream_matches_classic(toks):
+    tpu, host = toks
+    rng = np.random.default_rng(5)
+    alphabet = "abc ABC 123 \n\r\t ⭐你好 é 💩 '! .,<|endoftext|>"
+    batches = []
+    for _ in range(4):
+        batch = [
+            "".join(
+                alphabet[rng.integers(0, len(alphabet))]
+                for _ in range(rng.integers(0, 120))
+            )
+            for _ in range(40)
+        ]
+        batches.append(batch)
+    flat = [
+        ids
+        for b in tpu.encode_batch_stream(iter(batches), allowed_special="all")
+        for ids in b
+    ]
+    want = [
+        host.encode(t, allowed_special="all") for b in batches for t in b
+    ]
+    assert len(flat) == len(want)
+    for g, w in zip(flat, want):
+        assert list(g) == w
+
+
+def test_emit_outputs_own_their_storage(toks):
+    """Returned arrays must survive ring recycling: encode many more
+    batches than the ring depth, then re-check the FIRST result."""
+    tpu, host = toks
+    text = "ring ownership check ⭐ 123"
+    first = tpu.encode_batch([text])[0]
+    want = list(first)
+    for k in range(10):  # > ring depth
+        tpu.encode_batch([f"filler {k} " * 50])
+    assert list(first) == want == host.encode(text)

@@ -185,6 +185,54 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),  # n_copied (out, nullable)
             ]
         )
+        lib.tt_ctx_split_emit_batch.restype = ctypes.c_int64
+        lib.tt_ctx_split_emit_batch.argtypes = [
+            ctypes.c_void_p,  # ctx
+            ctypes.c_void_p,  # buf
+            ctypes.c_void_p,  # seg_start
+            ctypes.c_void_p,  # seg_end
+            ctypes.c_int64,  # n_segs
+            ctypes.c_int,  # nthreads
+            ctypes.c_void_p,  # out_ids
+            ctypes.c_void_p,  # seg_ntokens
+            ctypes.c_void_p,  # seg_npieces
+            ctypes.c_void_p,  # new_uid
+            ctypes.c_void_p,  # new_start
+            ctypes.c_void_p,  # new_end
+            ctypes.c_int64,  # new_cap
+            ctypes.POINTER(ctypes.c_int64),  # n_new
+            ctypes.c_void_p,  # byte_to_id
+            ctypes.c_void_p,  # kl
+            ctypes.c_void_p,  # kr
+            ctypes.c_void_p,  # vv
+            ctypes.c_int32,  # slot_bits
+            ctypes.c_int32,  # max_probes
+            ctypes.c_void_p,  # rows
+            ctypes.c_void_p,  # row_len
+            ctypes.c_void_p,  # row_u16
+            ctypes.c_int64,  # row_width
+            ctypes.c_int64,  # row_cap
+            ctypes.c_void_p,  # uid_rows
+            ctypes.c_int64,  # uid_cap
+            ctypes.POINTER(ctypes.c_int64),  # row_next (in/out)
+            ctypes.POINTER(ctypes.c_int64),  # n_fused (out)
+            ctypes.c_void_p,  # old_ctx (nullable)
+            ctypes.c_void_p,  # old_uid_rows
+            ctypes.c_void_p,  # old_rows
+            ctypes.c_void_p,  # old_row_len
+            ctypes.c_void_p,  # old_row_u16
+            ctypes.c_int64,  # old_row_width
+            ctypes.c_int64,  # old_n_rows
+            ctypes.POINTER(ctypes.c_int64),  # n_copied (out)
+            ctypes.c_void_p,  # ovf_pool (nullable)
+            ctypes.c_int64,  # ovf_len
+            ctypes.c_void_p,  # patch_seg
+            ctypes.c_void_p,  # patch_pos
+            ctypes.c_void_p,  # patch_uid
+            ctypes.c_void_p,  # patch_res
+            ctypes.c_int64,  # patch_cap
+            ctypes.POINTER(ctypes.c_int64),  # n_patches
+        ]
         lib.tt_ctx_lookup_spans.restype = None
         lib.tt_ctx_lookup_spans.argtypes = [
             ctypes.c_void_p,  # ctx (frozen)
@@ -253,7 +301,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_void_p,  # out_counts
         ]
-        if lib.tt_abi_version() != 9:
+        if lib.tt_abi_version() != 10:
             return None
         _LIB = lib
         return _LIB
@@ -592,6 +640,233 @@ class SplitContext:
             int(row_next.value),
             int(n_fused.value),
             int(n_copied.value),
+        )
+
+    #: patch scratch capacity (holes are capacity-pressure-rare; -6
+    #: overflow routes the caller to the classic two-phase path).
+    _PATCH_CAP = 1 << 16
+
+    def _emit_buffer(self, cap: int) -> np.ndarray:
+        """Output buffer for split_emit_batch — callers hand out
+        ZERO-COPY views of it, so it is reused only when no external
+        view keeps it alive (every view holds a reference via ``.base``,
+        so the refcount is the ownership oracle).  Consumers that drop
+        their outputs promptly (streams, corpus writers) recycle warm
+        pages instead of page-faulting a fresh multi-MB buffer per call;
+        long-lived outputs silently force fresh allocations."""
+        import sys
+
+        pool = getattr(self, "_emit_pool", None)
+        if pool is None:
+            pool = []
+            self._emit_pool = pool
+            # Calibrate the "no external views" refcount IN THIS EXACT
+            # loop shape: the interpreter's transient stack/iterator
+            # references vary by version (3.12 measures 4 where 3.11
+            # measured 3), and a wrong constant silently disables reuse
+            # — which on this VM costs 0.5-0.8 s of first-touch page
+            # faults per fresh 32 MB buffer (measured).
+            probe = [np.empty(1, np.int32)]
+            for _j, _b in enumerate(probe):
+                self._free_refs = sys.getrefcount(_b)
+        free = self._free_refs
+        for j, b in enumerate(pool):
+            if len(b) >= cap and sys.getrefcount(b) <= free:
+                pool.append(pool.pop(j))  # MRU
+                return b
+        buf = np.empty(max(cap, 1 << 16), dtype=np.int32)
+        pool.append(buf)
+        if len(pool) > 4:
+            # Evict the coldest UNREFERENCED buffer; a referenced one
+            # must stay pooled (dropping it here would be fine for
+            # correctness — views own it — but bounding by unreferenced
+            # entries keeps the pool from pinning live outputs).  Same
+            # loop shape as the calibration probe (slicing the pool
+            # would add a reference and skew the baseline).
+            for j, b in enumerate(pool):
+                if b is not buf and sys.getrefcount(b) <= free:
+                    pool.pop(j)
+                    break
+        return buf
+
+    def split_emit_batch(
+        self,
+        data: bytes,
+        seg_start: np.ndarray,
+        seg_end: np.ndarray,
+        table,
+        rows: np.ndarray,
+        row_len: np.ndarray,
+        row_u16: np.ndarray,
+        uid_rows: np.ndarray,
+        n_rows: int,
+        ovf_pool: Optional[np.ndarray] = None,
+        nthreads: int = 0,
+        old_gen=None,
+    ):
+        """Fused scan+merge+EMIT: bytes -> token ids in ONE native pass.
+
+        Like :meth:`split_merge_batch` but the per-piece uid buffer is
+        never materialized: each segment's token ids land directly at
+        ``(seg_start[k] - base)`` of the returned id buffer with counts
+        in ``seg_ntokens``.  Pieces that could not resolve inline come
+        back as ``patches`` — ``(seg, pos, uid, reserved)`` arrays the
+        caller backfills (after resolving the returned ``news``) and
+        compacts.  REQUIRES ``uid_rows`` slots for unassigned uids to
+        hold -1 (the emit path reads them concurrently under the
+        acquire/release protocol; garbage >= 0 would alias rows).
+
+        Returns ``(ids_buffer, seg_offsets, seg_ntokens, seg_npieces,
+        news, new_n_rows, n_fused, n_copied, patches)``.  The id buffer
+        is FRESH per call (not ring-recycled) — callers may hand out
+        zero-copy views of it.
+        """
+        if nthreads <= 0:
+            nthreads = default_threads()
+        n_segs = len(seg_start)
+        empty_news = tuple(np.empty(0, np.int32) for _ in range(3))
+        empty_patches = (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int32),
+            np.empty(0, np.int32),
+        )
+        if n_segs == 0:
+            return (
+                np.empty(0, np.int32),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                empty_news,
+                n_rows,
+                0,
+                0,
+                empty_patches,
+            )
+        seg_start = np.ascontiguousarray(seg_start, dtype=np.int64)
+        seg_end = np.ascontiguousarray(seg_end, dtype=np.int64)
+        base = int(seg_start[0])
+        cap = max(int(seg_end[-1]) - base, 1)
+        out_ids = self._emit_buffer(cap)
+        seg_nt = np.empty(n_segs, dtype=np.int64)
+        seg_np = np.empty(n_segs, dtype=np.int64)
+        new_uid, new_start, new_end = self._news_buffers(cap)
+        p_scr = getattr(self, "_patch_scratch", None)
+        if p_scr is None:
+            p_scr = (
+                np.empty(self._PATCH_CAP, np.int64),
+                np.empty(self._PATCH_CAP, np.int64),
+                np.empty(self._PATCH_CAP, np.int32),
+                np.empty(self._PATCH_CAP, np.int32),
+            )
+            self._patch_scratch = p_scr
+        n_new = ctypes.c_int64(0)
+        row_next = ctypes.c_int64(int(n_rows))
+        n_fused = ctypes.c_int64(0)
+        n_copied = ctypes.c_int64(0)
+        n_patches = ctypes.c_int64(0)
+        assert rows.flags.c_contiguous and rows.dtype == np.int32
+        if old_gen is not None:
+            octx, ouid_rows, orows, orow_len, orow_u16, on_rows = old_gen
+            assert orows.flags.c_contiguous and orows.dtype == np.int32
+            old_args = (
+                octx._ctx,
+                ouid_rows.ctypes.data_as(ctypes.c_void_p),
+                orows.ctypes.data_as(ctypes.c_void_p),
+                orow_len.ctypes.data_as(ctypes.c_void_p),
+                orow_u16.ctypes.data_as(ctypes.c_void_p),
+                orows.shape[1],
+                int(on_rows),
+            )
+        else:
+            old_args = (None, None, None, None, None, 0, 0)
+        rc = self._lib.tt_ctx_split_emit_batch(
+            self._ctx,
+            data,
+            seg_start.ctypes.data_as(ctypes.c_void_p),
+            seg_end.ctypes.data_as(ctypes.c_void_p),
+            n_segs,
+            nthreads,
+            out_ids.ctypes.data_as(ctypes.c_void_p),
+            seg_nt.ctypes.data_as(ctypes.c_void_p),
+            seg_np.ctypes.data_as(ctypes.c_void_p),
+            new_uid.ctypes.data_as(ctypes.c_void_p),
+            new_start.ctypes.data_as(ctypes.c_void_p),
+            new_end.ctypes.data_as(ctypes.c_void_p),
+            cap,
+            ctypes.byref(n_new),
+            table.byte_to_id.ctypes.data_as(ctypes.c_void_p),
+            table.key_left.ctypes.data_as(ctypes.c_void_p),
+            table.key_right.ctypes.data_as(ctypes.c_void_p),
+            table.values.ctypes.data_as(ctypes.c_void_p),
+            table.slot_bits,
+            table.max_probes,
+            rows.ctypes.data_as(ctypes.c_void_p),
+            row_len.ctypes.data_as(ctypes.c_void_p),
+            row_u16.ctypes.data_as(ctypes.c_void_p),
+            rows.shape[1],
+            rows.shape[0],
+            uid_rows.ctypes.data_as(ctypes.c_void_p),
+            len(uid_rows),
+            ctypes.byref(row_next),
+            ctypes.byref(n_fused),
+            *old_args,
+            ctypes.byref(n_copied),
+            (
+                ovf_pool.ctypes.data_as(ctypes.c_void_p)
+                if ovf_pool is not None
+                else None
+            ),
+            len(ovf_pool) if ovf_pool is not None else 0,
+            p_scr[0].ctypes.data_as(ctypes.c_void_p),
+            p_scr[1].ctypes.data_as(ctypes.c_void_p),
+            p_scr[2].ctypes.data_as(ctypes.c_void_p),
+            p_scr[3].ctypes.data_as(ctypes.c_void_p),
+            self._PATCH_CAP,
+            ctypes.byref(n_patches),
+        )
+        if rc == -6:
+            # Patch scratch overflowed: the emit output is unusable but
+            # the news arrays are valid (filled before the fixup), so
+            # the caller can register + resolve the deferred pieces —
+            # REQUIRED, every interned uid must end with a row — before
+            # retrying through the classic path.
+            k = n_new.value
+            return (
+                "patch_overflow",
+                (
+                    new_uid[:k].copy(),
+                    new_start[:k].copy(),
+                    new_end[:k].copy(),
+                ),
+                int(row_next.value),
+            )
+        if rc < 0:
+            raise RuntimeError(_errmsg("tt_ctx_split_emit_batch", rc))
+        k = n_new.value
+        news = (
+            new_uid[:k].copy(),
+            new_start[:k].copy(),
+            new_end[:k].copy(),
+        )
+        npz = n_patches.value
+        patches = (
+            p_scr[0][:npz].copy(),
+            p_scr[1][:npz].copy(),
+            p_scr[2][:npz].copy(),
+            p_scr[3][:npz].copy(),
+        )
+        offsets = seg_start - base
+        return (
+            out_ids,
+            offsets,
+            seg_nt,
+            seg_np,
+            news,
+            int(row_next.value),
+            int(n_fused.value),
+            int(n_copied.value),
+            patches,
         )
 
     def lookup_spans(

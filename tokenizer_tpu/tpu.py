@@ -184,7 +184,9 @@ class TpuTokenizer(TikTokenizer):
         }.get(pattern)
         #: persistent native interning context + uid -> row map.
         self._split_ctx = None
-        self._uid_rows = np.empty(_INIT_ROWS, dtype=np.int32)
+        # -1-filled: the emit path reads unassigned slots concurrently
+        # (acquire/release protocol) — garbage >= 0 would alias rows.
+        self._uid_rows = np.full(_INIT_ROWS, -1, dtype=np.int32)
         self._force_host_bytes = set(self.table.unreachable_tokens)
         #: specials in registration order as bytes (alternation order).
         self._specials_bytes = [
@@ -298,7 +300,7 @@ class TpuTokenizer(TikTokenizer):
         self._n_rows = 0
         self._ovf_pool = np.empty(4096, dtype=np.int32)
         self._ovf_len = 0
-        self._uid_rows = np.empty(_INIT_ROWS, dtype=np.int32)
+        self._uid_rows = np.full(_INIT_ROWS, -1, dtype=np.int32)
         self._split_ctx = None  # rebuilt (fresh uids) on next use
         self.stats.dedup_resets += 1
 
@@ -554,6 +556,13 @@ class TpuTokenizer(TikTokenizer):
             atexit.register(_drain_probes)
         _PROBE_EVENTS.append(self._dev_event)
 
+        # The drain must cover the probe thread's WHOLE lifetime, not
+        # just readiness: pre-arm compiles run after _dev_event sets,
+        # and a teardown while the thread sits in a tunnel compile
+        # SIGABRTs exactly like a wedged transfer (measured).
+        thread_exit = threading.Event()
+        _PROBE_EVENTS.append(thread_exit)
+
         def probe():
             try:
                 import time
@@ -591,6 +600,7 @@ class TpuTokenizer(TikTokenizer):
                 pass  # device unusable: host route keeps serving
             finally:
                 self._dev_event.set()
+                thread_exit.set()
 
         threading.Thread(target=probe, daemon=True).start()
 
@@ -690,7 +700,7 @@ class TpuTokenizer(TikTokenizer):
             cap = len(self._uid_rows)
             while cap < need_uids:
                 cap *= 2
-            grown = np.empty(cap, dtype=np.int32)
+            grown = np.full(cap, -1, dtype=np.int32)
             grown[: len(self._uid_rows)] = self._uid_rows
             self._uid_rows = grown
         if len(self._row_len) - self._n_rows < est:
@@ -1233,7 +1243,7 @@ class TpuTokenizer(TikTokenizer):
             cap = len(self._uid_rows)
             while cap <= mx:
                 cap *= 2
-            grown = np.empty(cap, dtype=np.int32)
+            grown = np.full(cap, -1, dtype=np.int32)
             grown[: len(self._uid_rows)] = self._uid_rows
             self._uid_rows = grown
         r0 = self._reserve_rows(n)
@@ -1334,20 +1344,13 @@ class TpuTokenizer(TikTokenizer):
             return np.empty(0, np.int32)
         return np.concatenate([self._row_ids(r) for r in idx])
 
-    def _native_split_phase(self, texts: Sequence[str], allowed):
-        """Native split + interning of one batch; no device work.
-
-        All texts concatenate into a single byte buffer whose
-        special-free segments go through ``tt_ctx_split_batch`` (pieces
-        never cross segment/document boundaries, so per-segment scans
-        are exact — SURVEY.md §5 multi-host determinism applies at doc
-        granularity too).  Returns the state consumed by
-        :meth:`_native_assemble_phase` plus the first-seen pieces whose
-        rows the device must fill.
-        """
-        native = self._native
-        if self._split_ctx is None:
-            self._split_ctx = native.SplitContext(self._native_pid)
+    def _build_segments(self, texts: Sequence[str], allowed):
+        """Shared pre-pass: texts -> one byte buffer + special-free
+        segments + per-text item structure (exact findNextSpecialToken
+        semantics, byte domain).  Returns (buf, seg_starts, seg_ends,
+        text_items) where text_items holds, per text: a segment index
+        (single-segment fast path), -1 (empty), or an interleaved
+        [("s", seg) | ("x", special_row)] list."""
         allowed_b = (
             {s.encode("utf-8") for s in allowed} if allowed else None
         )
@@ -1355,8 +1358,6 @@ class TpuTokenizer(TikTokenizer):
         buf = b"".join(datas)
         seg_starts: List[int] = []
         seg_ends: List[int] = []
-        #: per text: segment index (single-segment fast path), -1
-        #: (empty), or an interleaved [("s", seg) | ("x", row)] list.
         text_items: List = []
         off = 0
         for data in datas:
@@ -1398,6 +1399,31 @@ class TpuTokenizer(TikTokenizer):
             else:
                 text_items.append(items)
             off += n
+        return buf, seg_starts, seg_ends, text_items
+
+    def _native_split_phase(self, texts: Sequence[str], allowed,
+                            prebuilt=None):
+        """Native split + interning of one batch; no device work.
+
+        All texts concatenate into a single byte buffer whose
+        special-free segments go through ``tt_ctx_split_batch`` (pieces
+        never cross segment/document boundaries, so per-segment scans
+        are exact — SURVEY.md §5 multi-host determinism applies at doc
+        granularity too).  Returns the state consumed by
+        :meth:`_native_assemble_phase` plus the first-seen pieces whose
+        rows the device must fill.  ``prebuilt`` passes an already-built
+        (buf, seg_starts, seg_ends, text_items) so a fallback from the
+        emit route never double-counts stats or re-encodes the texts.
+        """
+        native = self._native
+        if self._split_ctx is None:
+            self._split_ctx = native.SplitContext(self._native_pid)
+        if prebuilt is not None:
+            buf, seg_starts, seg_ends, text_items = prebuilt
+        else:
+            buf, seg_starts, seg_ends, text_items = self._build_segments(
+                texts, allowed
+            )
 
         wave = None
         if seg_starts:
@@ -1514,6 +1540,161 @@ class TpuTokenizer(TikTokenizer):
         self._finish_new_piece_rows(self._dispatch_wave(state[4]))
         return self._native_assemble_phase(state)
 
+    # -- fused scan+merge+EMIT (one native pass, no assemble) --------------
+
+    def _native_encode_emit(
+        self, texts: Sequence[str], allowed
+    ) -> Optional[List[np.ndarray]]:
+        """One-pass encode: bytes -> token ids inside the native scan.
+
+        In steady state every piece's row is already resolved, so the
+        scan emits ids inline — no uid buffer, no assemble phase; the
+        two-phase pipeline's assemble re-walk (~45% of its warm-stream
+        CPU) disappears.  First-seen pieces merge on the scanning
+        threads as in the fused path; the rare piece that cannot
+        resolve inline (deferred fuse / uid-capacity) comes back as a
+        HOLE patch, backfilled after the news wave resolves.  Returns
+        None when the route is ineligible (device-preferred wave,
+        force-host vocab, patch overflow) — callers fall back to the
+        classic split/merge/assemble path.  Output is bit-identical
+        either way (differential-tested).
+        """
+        if self._force_host_bytes:
+            return None
+        # Route decision BEFORE any side effects (stats, special rows):
+        # estimate bytes from code-point counts — a pure heuristic input.
+        if not self._should_fuse(sum(len(t) for t in texts)):
+            return None  # device-preferred: classic path handles waves
+        native = self._native
+        if self._split_ctx is None:
+            self._split_ctx = native.SplitContext(self._native_pid)
+        buf, seg_starts, seg_ends, text_items = self._build_segments(
+            texts, allowed
+        )
+        ids_buf = None
+        if seg_starts:
+            self._prepare_fused_capacity(len(buf))
+            res = self._split_ctx.split_emit_batch(
+                buf,
+                np.asarray(seg_starts),
+                np.asarray(seg_ends),
+                self.table,
+                self._rows,
+                self._row_len,
+                self._row_u16,
+                self._uid_rows,
+                self._n_rows,
+                ovf_pool=self._ovf_pool,
+                old_gen=self._old_gen_native(),
+            )
+            if isinstance(res[0], str):  # "patch_overflow"
+                # Pathological deferral volume: resolve the returned
+                # news (every interned uid MUST get a row), then redo
+                # through the classic path with the prebuilt segments
+                # (stats already counted once).
+                _tag, news, new_n_rows = res
+                self._n_rows = new_n_rows
+                if len(news[0]):
+                    wave = self._register_new_uids_arrays(news, buf)
+                    self._finish_new_piece_rows(self._dispatch_wave(wave))
+                state = self._native_split_phase(
+                    texts, allowed, prebuilt=(buf, seg_starts, seg_ends, text_items)
+                )
+                self._finish_new_piece_rows(self._dispatch_wave(state[4]))
+                return self._native_assemble_phase(state)
+            (
+                ids_buf,
+                seg_offs,
+                seg_nt,
+                seg_np,
+                news,
+                new_n_rows,
+                n_fused,
+                n_copied,
+                patches,
+            ) = res
+            self._n_rows = new_n_rows
+            if n_fused:
+                self.stats.unique_pieces += n_fused
+                self.stats.host_wave_pieces += n_fused
+                self.stats.fused_pieces += n_fused
+                self._host_waves_since_dev += 1
+            self.stats.dedup_gen_copies += n_copied
+            self._note_news_rate(len(buf), n_fused + len(news[0]))
+            self.stats.pieces += int(seg_np.sum())
+            if len(news[0]):
+                # Resolve the deferred wave SYNCHRONOUSLY (the route
+                # predicate said host), then backfill its holes.
+                wave = self._register_new_uids_arrays(news, buf)
+                self._finish_new_piece_rows(self._dispatch_wave(wave))
+            if len(patches[0]):
+                self._backfill_patches(
+                    ids_buf, seg_offs, seg_nt, patches
+                )
+        # Final per-text streams: ZERO-COPY views into the fresh id
+        # buffer (its refcount keeps it alive) — the dominant
+        # single-segment case never copies; only texts interleaving
+        # specials concatenate their few parts.
+        out: List[np.ndarray] = []
+        tokens = 0
+        empty = np.empty(0, np.int32)
+        for item in text_items:
+            if isinstance(item, int):
+                if item < 0:
+                    out.append(empty)
+                    continue
+                sl = ids_buf[
+                    seg_offs[item] : seg_offs[item] + seg_nt[item]
+                ]
+                tokens += sl.size
+                out.append(sl)
+            else:
+                parts: List[np.ndarray] = []
+                for kind, v in item:
+                    if kind == "s":
+                        parts.append(
+                            ids_buf[
+                                seg_offs[v] : seg_offs[v] + seg_nt[v]
+                            ]
+                        )
+                    else:
+                        parts.append(self._rows[v, :1].copy())
+                ids = (
+                    np.concatenate(parts) if parts else empty
+                )
+                tokens += ids.size
+                out.append(ids)
+        self.stats.tokens_out += tokens
+        return out
+
+    def _backfill_patches(self, ids_buf, seg_offs, seg_nt, patches):
+        """Resolve emit HOLES: splice each patched piece's now-resolved
+        ids into its segment stream and close the reserved gaps."""
+        p_seg, p_pos, p_uid, p_res = patches
+        order = np.lexsort((p_pos, p_seg))
+        i = 0
+        while i < len(order):
+            k = int(p_seg[order[i]])
+            j = i
+            while j < len(order) and int(p_seg[order[j]]) == k:
+                j += 1
+            off = int(seg_offs[k])
+            nt = int(seg_nt[k])
+            region = ids_buf[off : off + nt]
+            out_parts: List[np.ndarray] = []
+            prev = 0
+            for t in order[i:j]:
+                pos = int(p_pos[t])
+                out_parts.append(region[prev:pos].copy())
+                row = int(self._uid_rows[int(p_uid[t])])
+                out_parts.append(np.asarray(self._row_ids(row), np.int32))
+                prev = pos + int(p_res[t])
+            out_parts.append(region[prev:nt].copy())
+            new = np.concatenate(out_parts)
+            ids_buf[off : off + new.size] = new
+            seg_nt[k] = new.size
+            i = j
+
     # -- bulk encode --------------------------------------------------------
 
     def encode_batch(
@@ -1530,6 +1711,9 @@ class TpuTokenizer(TikTokenizer):
         allowed = self._resolve_allowed(allowed_special)
         self._maybe_reset_dedup()  # safe: nothing in flight
         if self._native is not None and self._native_pid is not None:
+            out = self._native_encode_emit(texts, allowed)
+            if out is not None:
+                return out
             return self._encode_batch_native(texts, allowed)
         new_pieces: List[str] = []
         per_text: List[List[int]] = []
@@ -1660,6 +1844,19 @@ class TpuTokenizer(TikTokenizer):
                     deferred = None
                 if deferred is None:
                     self._maybe_reset_dedup()  # safe: nothing in flight
+                # One-pass emit route first: no assemble phase exists,
+                # so the chunk yields immediately (after draining any
+                # deferred chunk to preserve order).  SAFE alongside a
+                # deferred chunk: emit only APPENDS rows/uids beyond the
+                # deferred chunk's high-water mark and writes a fresh
+                # ring slot (same disjointness argument as split(k+1)).
+                out = self._native_encode_emit(texts, allowed)
+                if out is not None:
+                    if deferred is not None:
+                        yield resolve(deferred)
+                        deferred = None
+                    yield out
+                    continue
                 state = self._native_split_phase(texts, allowed)
                 handle = self._dispatch_wave(state[4])
                 if deferred is not None:
