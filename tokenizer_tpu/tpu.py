@@ -2107,7 +2107,10 @@ class TpuTokenizer(TikTokenizer):
             # interactive encodes on the zero-setup low-latency path.
             self._maybe_reset_dedup()
             allowed = self._resolve_allowed(allowed_special)
-            return self._encode_batch_native([text], allowed)[0].tolist()
+            out = self._native_encode_emit([text], allowed)
+            if out is None:
+                out = self._encode_batch_native([text], allowed)
+            return out[0].tolist()
         allowed = self._resolve_allowed(allowed_special)
         allowed_b = (
             {s.encode("utf-8") for s in allowed} if allowed else None
