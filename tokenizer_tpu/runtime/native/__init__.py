@@ -1030,6 +1030,53 @@ def gather_bytes(
     return out[:w].tobytes()
 
 
+def count_batch(
+    rows: np.ndarray,
+    row_len: np.ndarray,
+    uid_rows: Optional[np.ndarray],
+    uid_buf: np.ndarray,
+    seg_offs: np.ndarray,
+    seg_counts: np.ndarray,
+    nthreads: int = 0,
+    ovf_pool: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Per-segment token TOTALS only (tt_assemble_batch phase 1): the
+    threaded uid->row->row_len count pass without materializing any
+    ids — the bulk-trim budget bookkeeping's total source."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native presplit unavailable")
+    if nthreads <= 0:
+        nthreads = default_threads()
+    n_segs = len(seg_counts)
+    seg_offs = np.ascontiguousarray(seg_offs, dtype=np.int64)
+    seg_counts = np.ascontiguousarray(seg_counts, dtype=np.int64)
+    totals = np.empty(n_segs, dtype=np.int64)
+    grand = lib.tt_assemble_batch(
+        rows.ctypes.data_as(ctypes.c_void_p),
+        row_len.ctypes.data_as(ctypes.c_void_p),
+        rows.shape[1],
+        uid_rows.ctypes.data_as(ctypes.c_void_p)
+        if uid_rows is not None
+        else None,
+        uid_buf.ctypes.data_as(ctypes.c_void_p),
+        seg_offs.ctypes.data_as(ctypes.c_void_p),
+        seg_counts.ctypes.data_as(ctypes.c_void_p),
+        n_segs,
+        nthreads,
+        totals.ctypes.data_as(ctypes.c_void_p),
+        None,
+        None,
+        0,
+        ovf_pool.ctypes.data_as(ctypes.c_void_p)
+        if ovf_pool is not None
+        else None,
+    )
+    if grand < 0:
+        raise RuntimeError(f"tt_assemble_batch count failed: {grand}")
+    return totals
+
+
 def assemble_batch(
     rows: np.ndarray,
     row_len: np.ndarray,

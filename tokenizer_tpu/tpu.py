@@ -1897,31 +1897,70 @@ class TpuTokenizer(TikTokenizer):
             return np.empty(0, np.int32)
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    def _trim_flat_bookkeeping(self, state):
-        """Batch-global trim bookkeeping: ONE vectorized pass computes
-        every segment's per-piece row, id-count and UTF-16 cumsums in a
-        flat layout (segment k's pieces at [pb[k], pb[k+1])), so the
-        per-text budget loop does only a searchsorted on a contiguous
-        view — no per-text fancy-index gathers (the former ~100 us/doc
-        python cost of trim batches).  Returns None when the batch has
-        no segments."""
+    def _trim_windows(self, state, b_seg: np.ndarray, tail: bool):
+        """Budget-WINDOW trim bookkeeping: per segment, only the first
+        (suffix trims) or last (prefix trims) ``b_seg[k] + 1`` pieces
+        get the uid->row->len/u16 gathers and cumsums — every piece
+        emits >= 1 id, so the budget boundary always falls inside that
+        window; segment token TOTALS come from the threaded native
+        count pass instead of a python cumsum over ALL pieces.  A
+        budget-64 trim of a million-piece batch touches ~64 pieces per
+        text.  Returns (totals, win_rows, cumW, cum16W, wb, w0) where
+        segment k's window occupies [wb[k], wb[k+1]) of the flat arrays
+        and w0[k] is its first piece's global index, or None when the
+        batch has no segments."""
+        from .runtime import native as _native
+
         _items, uid_buf, seg_offs, seg_counts, _w, _g = state
         if uid_buf is None or len(seg_counts) == 0:
             return None
-        lens_p = np.asarray(seg_counts, dtype=np.int64)
-        total_p = int(lens_p.sum())
-        pb = np.zeros(len(lens_p) + 1, dtype=np.int64)
-        np.cumsum(lens_p, out=pb[1:])
-        starts = np.asarray(seg_offs, dtype=np.int64)
-        flat_idx = np.repeat(starts - pb[:-1], lens_p) + np.arange(
-            total_p, dtype=np.int64
+        totals = _native.count_batch(
+            self._rows,
+            self._row_len,
+            self._uid_rows,
+            uid_buf,
+            seg_offs,
+            seg_counts,
+            ovf_pool=self._ovf_pool,
         )
-        flat_rows = self._uid_rows[uid_buf[flat_idx]].astype(np.int64)
-        rl = self._row_len[flat_rows]
-        k_flat = np.where(rl >= 0, rl, -rl - 1).astype(np.int64)
-        cum = np.cumsum(k_flat)
-        cum16 = np.cumsum(self._row_u16[flat_rows].astype(np.int64))
-        return flat_rows, cum, cum16, pb
+        lens_p = np.asarray(seg_counts, dtype=np.int64)
+        w = np.minimum(lens_p, np.asarray(b_seg, dtype=np.int64) + 1)
+        # Windows only matter for trimmed segments; untrimmed ones
+        # (total <= budget) take the full-gather path regardless.
+        w = np.where(totals <= b_seg, 0, w)
+        wb = np.zeros(len(w) + 1, dtype=np.int64)
+        np.cumsum(w, out=wb[1:])
+        tot_w = int(wb[-1])
+        starts = np.asarray(seg_offs, dtype=np.int64)
+        w0 = starts if not tail else starts + (lens_p - w)
+        if tot_w:
+            flat_idx = np.repeat(w0 - wb[:-1], w) + np.arange(
+                tot_w, dtype=np.int64
+            )
+            win_rows = self._uid_rows[uid_buf[flat_idx]].astype(np.int64)
+            rl = self._row_len[win_rows]
+            k_w = np.where(rl >= 0, rl, -rl - 1).astype(np.int64)
+            cumW = np.cumsum(k_w)
+            cum16W = np.cumsum(self._row_u16[win_rows].astype(np.int64))
+        else:
+            win_rows = np.empty(0, np.int64)
+            cumW = cum16W = np.empty(0, np.int64)
+        return totals, win_rows, cumW, cum16W, wb, w0
+
+    def _seg_rows(self, uid_buf, seg_offs, seg_counts, k: int):
+        """All row indices of segment k (full-gather path)."""
+        o = int(seg_offs[k])
+        c = int(seg_counts[k])
+        return self._uid_rows[uid_buf[o : o + c]].astype(np.int64)
+
+    def _trim_budget_map(self, text_items, n_segs: int, budgets):
+        """Per-segment budget array for single-segment texts (window
+        sizing); segments of multi-item texts get 0 (fallback path)."""
+        b_seg = np.zeros(n_segs, dtype=np.int64)
+        for i, item in enumerate(text_items):
+            if isinstance(item, int) and item >= 0:
+                b_seg[item] = max(budgets[i], 0)
+        return b_seg
 
     def _trim_batch_setup(self, texts, allowed):
         """Shared bulk-trim plumbing: split + merge, NO assembly.
@@ -1990,7 +2029,12 @@ class TpuTokenizer(TikTokenizer):
         state = self._trim_batch_setup(texts, allowed)
         text_items, uid_buf, seg_offs, seg_counts, _, _gen = state
         self._split_ctx.check_uid_generation(_gen)
-        fb = self._trim_flat_bookkeeping(state)
+        fb = None
+        if seg_counts is not None and len(seg_counts):
+            b_seg = self._trim_budget_map(
+                text_items, len(seg_counts), budgets
+            )
+            fb = self._trim_windows(state, b_seg, tail=False)
         out = []
         for i, text in enumerate(texts):
             b = budgets[i]
@@ -2002,28 +2046,32 @@ class TpuTokenizer(TikTokenizer):
                 continue
             item = text_items[i]
             if isinstance(item, int) and item >= 0 and fb is not None:
-                # Single-segment fast path: all bookkeeping is slices of
-                # the batch-global cumsums — no per-text gathers.
-                flat_rows, cumF, cum16F, pb = fb
-                s, e = int(pb[item]), int(pb[item + 1])
-                base = int(cumF[s - 1]) if s > 0 else 0
-                base16 = int(cum16F[s - 1]) if s > 0 else 0
-                total = (int(cumF[e - 1]) - base) if e > s else 0
+                # Single-segment fast path: budget bookkeeping over the
+                # segment's HEAD WINDOW (first b+1 pieces — each piece
+                # emits >= 1 id, so the boundary is inside it); the
+                # token total comes from the native count pass.
+                totals, win_rows, cumW, cum16W, wb, _w0 = fb
+                total = int(totals[item])
                 if total <= b:
-                    ids = self._gather_rows(flat_rows[s:e])
+                    ids = self._gather_rows(
+                        self._seg_rows(uid_buf, seg_offs, seg_counts, item)
+                    )
                     self.stats.tokens_out += ids.size
                     out.append(TrimResult([int(x) for x in ids], text))
                     continue
-                j = int(np.searchsorted(cumF[s:e], b + base, side="left"))
-                if mode == "ts" or int(cumF[s + j]) - base == b:
+                s, e = int(wb[item]), int(wb[item + 1])
+                base = int(cumW[s - 1]) if s > 0 else 0
+                base16 = int(cum16W[s - 1]) if s > 0 else 0
+                j = int(np.searchsorted(cumW[s:e], b + base, side="left"))
+                if mode == "ts" or int(cumW[s + j]) - base == b:
                     keep = b
-                    enc_len = int(cum16F[s + j]) - base16
+                    enc_len = int(cum16W[s + j]) - base16
                 else:
-                    keep = (int(cumF[s + j - 1]) - base) if j > 0 else 0
+                    keep = (int(cumW[s + j - 1]) - base) if j > 0 else 0
                     enc_len = (
-                        (int(cum16F[s + j - 1]) - base16) if j > 0 else 0
+                        (int(cum16W[s + j - 1]) - base16) if j > 0 else 0
                     )
-                ids = self._gather_rows(flat_rows[s : s + j + 1])[:keep]
+                ids = self._gather_rows(win_rows[s : s + j + 1])[:keep]
                 self.stats.tokens_out += ids.size
                 out.append(
                     TrimResult(
@@ -2098,7 +2146,12 @@ class TpuTokenizer(TikTokenizer):
         state = self._trim_batch_setup(texts, allowed)
         text_items, uid_buf, seg_offs, seg_counts, _, _gen = state
         self._split_ctx.check_uid_generation(_gen)
-        fb = self._trim_flat_bookkeeping(state)
+        fb = None
+        if seg_counts is not None and len(seg_counts):
+            b_seg = self._trim_budget_map(
+                text_items, len(seg_counts), budgets
+            )
+            fb = self._trim_windows(state, b_seg, tail=True)
         out = []
         for i, text in enumerate(texts):
             b = budgets[i]
@@ -2107,39 +2160,55 @@ class TpuTokenizer(TikTokenizer):
                 continue
             item = text_items[i]
             if isinstance(item, int) and item >= 0 and fb is not None:
-                flat_rows, cumF, cum16F, pb = fb
-                s, e = int(pb[item]), int(pb[item + 1])
-                base = int(cumF[s - 1]) if s > 0 else 0
-                base16 = int(cum16F[s - 1]) if s > 0 else 0
-                total = (int(cumF[e - 1]) - base) if e > s else 0
+                # Single-segment fast path: TAIL window — the keep
+                # boundary of a prefix trim falls within the last b+1
+                # pieces (each emits >= 1 id).  Global cumulative values
+                # reconstruct from the total: tokens before the window
+                # = total - window's own sum; UTF-16 prefix at j =
+                # utf16_len(text) - window u16 after j.
+                totals, win_rows, cumW, cum16W, wb, _w0 = fb
+                total = int(totals[item])
                 if total <= b:
-                    ids = self._gather_rows(flat_rows[s:e])
+                    ids = self._gather_rows(
+                        self._seg_rows(uid_buf, seg_offs, seg_counts, item)
+                    )
                     self.stats.tokens_out += ids.size
                     out.append(TrimResult([int(x) for x in ids], text))
                     continue
+                s, e = int(wb[item]), int(wb[item + 1])
+                base = int(cumW[s - 1]) if s > 0 else 0
+                local_total = int(cumW[e - 1]) - base
+                base_w = total - local_total  # ids before the window
                 prefix = total - b
                 j = int(
-                    np.searchsorted(cumF[s:e], prefix + base, side="left")
+                    np.searchsorted(
+                        cumW[s:e], prefix - base_w + base, side="left"
+                    )
                 )
-                actual = int(cumF[s + j]) - base
+                actual = base_w + int(cumW[s + j]) - base
                 if actual > b:
                     m0 = int(
                         np.searchsorted(
-                            cumF[s:e], total - b + base, side="right"
+                            cumW[s:e],
+                            total - b - base_w + base,
+                            side="right",
                         )
                     )
-                    tail = self._gather_rows(flat_rows[s + m0 : e])
+                    tail = self._gather_rows(win_rows[s + m0 : e])
                     sliced = [int(x) for x in tail[tail.size - b :]]
                     self.stats.tokens_out += b
                     out.append(TrimResult(sliced, self.decode(sliced)))
                     continue
-                ids = self._gather_rows(flat_rows[s + j + 1 : e])
+                ids = self._gather_rows(win_rows[s + j + 1 : e])
                 self.stats.tokens_out += ids.size
-                cum16_j = int(cum16F[s + j]) - base16
+                total16 = utf16_len(text)
+                cum16_j = total16 - (
+                    int(cum16W[e - 1]) - int(cum16W[s + j])
+                )
                 out.append(
                     TrimResult(
                         [int(x) for x in ids],
-                        utf16_slice(text, cum16_j, utf16_len(text)),
+                        utf16_slice(text, cum16_j, total16),
                     )
                 )
                 continue
