@@ -166,3 +166,38 @@ def test_emit_outputs_own_their_storage(toks):
     for k in range(10):  # > ring depth
         tpu.encode_batch([f"filler {k} " * 50])
     assert list(first) == want == host.encode(text)
+
+
+def test_emit_thread_storm(gpt2_vocab, monkeypatch):
+    """Oversubscribed scan threads + tiny subsegments: maximal
+    cross-thread first-seen traffic through the emit acquire/release
+    protocol, with generational rotation active."""
+    monkeypatch.setenv("TOKENIZER_TPU_THREADS", "8")
+    monkeypatch.setenv("TOKENIZER_TPU_SUBSEG_BYTES", "4096")
+    import hashlib
+
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+
+    def word(j):
+        h = hashlib.blake2b(f"s:{j}".encode(), digest_size=6).digest()
+        return "".join(chr(97 + b % 26) for b in h)
+
+    big = " ".join(word(j) for j in range(40000))  # ~280 KB, ~40k uniques
+    want = host.encode(big)
+    for trial in range(2):
+        tok = TpuTokenizer(
+            gpt2_vocab,
+            spec.special_tokens,
+            spec.pattern,
+            mesh=None,
+            max_unique_rows=30000,  # forces a rotation mid-doc
+        )
+        got = tok.encode_batch([big])[0]
+        assert list(got) == want, f"trial {trial}"
+        got2 = tok.encode_batch([big])[0]
+        assert list(got2) == want, f"trial {trial} steady"
