@@ -377,11 +377,13 @@ def overlap_ab(docs, chunk_docs: int = 128, rounds: int = 3):
         "pipelined_s": round(pipe_s, 3),
         "speedup": round(sync_s / pipe_s, 3) if pipe_s else None,
         "note": (
-            "when the adaptive router resolves all waves host-side the"
-            " arms do near-identical work on a ~1.25-effective-CPU box"
-            " (expect parity +/- noise); the stream's overlaps — device"
-            " merge and the assemble-thread — pay off with a real device"
-            " route or spare cores"
+            "since the fused scan+merge+EMIT landed, host-routed chunks"
+            " are a SINGLE native pass in both arms — sync vs pipelined"
+            " do near-identical work and parity +/- noise is the"
+            " structurally correct result; the stream's remaining"
+            " overlap (device merge of chunk k under split of k+1)"
+            " applies only to device-routed waves, i.e. on a healthy"
+            " transport"
         ),
     }
 
@@ -764,9 +766,20 @@ def measure():
     cl100k["kernel_only"] = kern_c
     cl100k["stats_total"] = tok_c.stats.as_dict()
 
-    # SECONDARY: gpt2/pattern-1 (round-1/2 continuity).
+    # SECONDARY: gpt2/pattern-1 (round-1/2 continuity).  Secondary
+    # tokenizers run HOST-ONLY (probe suppressed): their blocks measure
+    # the host-route e2e, and a second/third probe thread compiling
+    # against a stalled transport was measured stealing enough CPU to
+    # halve these numbers (the device route is exercised by the primary
+    # + forced-device blocks).
+    def _host_only(tok):
+        tok._dev_probe_started = True
+        tok._dev_event.set()
+        return tok
+
     note("e2e gpt2")
-    gpt2 = _e2e_block(tok_g, docs, nbytes, cycles)
+    gpt2 = _e2e_block(_host_only(tok_g), docs, nbytes, cycles)
+    gpt2["note"] = "host-route only (secondary probe suppressed)"
     if kern_g is not None:
         gpt2["kernel_only"] = kern_g
 
@@ -777,7 +790,8 @@ def measure():
         tok_o = create_by_encoder_name(
             "o200k_synth", allow_fetch=False, use_tpu=True
         )
-        o200k = _e2e_block(tok_o, docs, nbytes, cycles)
+        o200k = _e2e_block(_host_only(tok_o), docs, nbytes, cycles)
+        o200k["note"] = "host-route only (secondary probe suppressed)"
 
     note("scan threads")
     scan_threads = scan_threads_bench(docs, cycles=3 if fast else 5)
