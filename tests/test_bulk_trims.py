@@ -157,3 +157,28 @@ def test_trim_batch_is_budget_aware(tpu_tok, host_tok):
     assert grew <= 64, f"prefix trim assembled {grew} ids for budget 8"
     ep = host_tok.encode_trim_prefix(doc, 8)
     assert (gp.token_ids, gp.text) == tuple(ep)
+
+
+def test_trim_batch_mixed_budgets(tpu_tok, host_tok):
+    """Heterogeneous per-text budgets size each segment's bookkeeping
+    WINDOW independently — parity across the whole budget range in one
+    call, both trim directions and both suffix modes."""
+    texts = [t for t in TEXTS if True]
+    budgets = [(i * 7 + 1) % 45 for i in range(len(texts))]
+    budgets[0] = 0      # degenerate -> host loop
+    budgets[-1] = 10000  # total <= b -> full gather
+    for mode in ("ts", "cs"):
+        got = tpu_tok.encode_trim_suffix_batch(
+            texts, budgets, allowed_special="all", mode=mode
+        )
+        for t, b, res in zip(texts, budgets, got):
+            want = host_tok.encode_trim_suffix(
+                t, b, allowed_special="all", mode=mode
+            )
+            assert (res.token_ids, res.text) == tuple(want), (t, b, mode)
+    gotp = tpu_tok.encode_trim_prefix_batch(
+        texts, budgets, allowed_special="all"
+    )
+    for t, b, res in zip(texts, budgets, gotp):
+        want = host_tok.encode_trim_prefix(t, b, allowed_special="all")
+        assert (res.token_ids, res.text) == tuple(want), (t, b)
