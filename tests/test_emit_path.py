@@ -201,3 +201,29 @@ def test_emit_thread_storm(gpt2_vocab, monkeypatch):
         assert list(got) == want, f"trial {trial}"
         got2 = tok.encode_batch([big])[0]
         assert list(got2) == want, f"trial {trial} steady"
+
+
+def test_emit_device_route_no_fuse(toks):
+    """The no-fuse emit (device-preferred route): every first-seen
+    piece defers to one wave, holes backfill natively, and — the
+    regression this guards — the row high-water mark must NOT be wiped
+    by the fuse gate (row_cap=0), which would recycle resolved rows
+    still referenced by uid_rows on LATER calls."""
+    tpu, host = toks
+    tpu._should_fuse = lambda n: False  # force the device-route shape
+    for ci in range(4):  # repeated calls: later rows must not alias
+        texts = [
+            " ".join(_word(f"d{ci}:{k}", j) for j in range(150))
+            for k in range(4)
+        ]
+        got = tpu.encode_batch(texts)
+        for g, t in zip(got, texts):
+            assert list(g) == host.encode(t), (ci, t[:40])
+    # Steady re-encode of the FIRST chunk still exact (its rows intact).
+    texts0 = [
+        " ".join(_word(f"d0:{k}", j) for j in range(150)) for k in range(4)
+    ]
+    got = tpu.encode_batch(texts0)
+    for g, t in zip(got, texts0):
+        assert list(g) == host.encode(t)
+    assert tpu.stats.fused_pieces == 0  # fusing was really off

@@ -233,6 +233,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,  # patch_cap
             ctypes.POINTER(ctypes.c_int64),  # n_patches
         ]
+        lib.tt_backfill_patches.restype = ctypes.c_int64
+        lib.tt_backfill_patches.argtypes = [
+            ctypes.c_void_p,  # out
+            ctypes.c_void_p,  # seg_off
+            ctypes.c_void_p,  # seg_ntokens (in/out)
+            ctypes.c_void_p,  # patch_seg
+            ctypes.c_void_p,  # patch_pos
+            ctypes.c_void_p,  # patch_uid
+            ctypes.c_void_p,  # patch_res
+            ctypes.c_int64,  # n_patches
+            ctypes.c_void_p,  # rows
+            ctypes.c_void_p,  # row_len
+            ctypes.c_int64,  # stride
+            ctypes.c_void_p,  # uid_rows
+            ctypes.c_void_p,  # ovf_pool (nullable)
+        ]
         lib.tt_ctx_lookup_spans.restype = None
         lib.tt_ctx_lookup_spans.argtypes = [
             ctypes.c_void_p,  # ctx (frozen)
@@ -703,6 +719,7 @@ class SplitContext:
         ovf_pool: Optional[np.ndarray] = None,
         nthreads: int = 0,
         old_gen=None,
+        fuse: bool = True,
     ):
         """Fused scan+merge+EMIT: bytes -> token ids in ONE native pass.
 
@@ -805,7 +822,10 @@ class SplitContext:
             row_len.ctypes.data_as(ctypes.c_void_p),
             row_u16.ctypes.data_as(ctypes.c_void_p),
             rows.shape[1],
-            rows.shape[0],
+            # row_cap gates ONLY the inline first-seen merge; 0 defers
+            # every news to the wave path (device-route emit) while the
+            # emit itself still reads already-resolved rows.
+            rows.shape[0] if fuse else 0,
             uid_rows.ctypes.data_as(ctypes.c_void_p),
             len(uid_rows),
             ctypes.byref(row_next),
@@ -825,6 +845,11 @@ class SplitContext:
             self._PATCH_CAP,
             ctypes.byref(n_patches),
         )
+        # With fuse disabled, row_cap was passed as 0 purely to gate the
+        # inline merge — the returned row_next is clamped to it and MUST
+        # NOT be committed (wiping the caller's row high-water mark
+        # would recycle resolved rows still referenced by uid_rows).
+        committed_rows = int(row_next.value) if fuse else n_rows
         if rc == -6:
             # Patch scratch overflowed: the emit output is unusable but
             # the news arrays are valid (filled before the fixup), so
@@ -839,7 +864,7 @@ class SplitContext:
                     new_start[:k].copy(),
                     new_end[:k].copy(),
                 ),
-                int(row_next.value),
+                committed_rows,
             )
         if rc < 0:
             raise RuntimeError(_errmsg("tt_ctx_split_emit_batch", rc))
@@ -863,7 +888,7 @@ class SplitContext:
             seg_nt,
             seg_np,
             news,
-            int(row_next.value),
+            committed_rows,
             int(n_fused.value),
             int(n_copied.value),
             patches,
@@ -1028,6 +1053,51 @@ def gather_bytes(
     if w < 0:
         raise RuntimeError("tt_gather_bytes overflow")
     return out[:w].tobytes()
+
+
+def backfill_patches(
+    out_ids: np.ndarray,
+    seg_offs: np.ndarray,
+    seg_nt: np.ndarray,
+    patches,
+    rows: np.ndarray,
+    row_len: np.ndarray,
+    uid_rows: np.ndarray,
+    ovf_pool: Optional[np.ndarray] = None,
+) -> None:
+    """Splice resolved rows into emit HOLES in place and close the
+    reserved gaps (tt_backfill_patches); updates seg_nt in place."""
+    p_seg, p_pos, p_uid, p_res = patches
+    n = len(p_seg)
+    if n == 0:
+        return
+    lib = _load()
+    p_seg = np.ascontiguousarray(p_seg, dtype=np.int64)
+    p_pos = np.ascontiguousarray(p_pos, dtype=np.int64)
+    p_uid = np.ascontiguousarray(p_uid, dtype=np.int32)
+    p_res = np.ascontiguousarray(p_res, dtype=np.int32)
+    seg_offs = np.ascontiguousarray(seg_offs, dtype=np.int64)
+    rc = lib.tt_backfill_patches(
+        out_ids.ctypes.data_as(ctypes.c_void_p),
+        seg_offs.ctypes.data_as(ctypes.c_void_p),
+        seg_nt.ctypes.data_as(ctypes.c_void_p),
+        p_seg.ctypes.data_as(ctypes.c_void_p),
+        p_pos.ctypes.data_as(ctypes.c_void_p),
+        p_uid.ctypes.data_as(ctypes.c_void_p),
+        p_res.ctypes.data_as(ctypes.c_void_p),
+        n,
+        rows.ctypes.data_as(ctypes.c_void_p),
+        row_len.ctypes.data_as(ctypes.c_void_p),
+        rows.shape[1],
+        uid_rows.ctypes.data_as(ctypes.c_void_p),
+        ovf_pool.ctypes.data_as(ctypes.c_void_p)
+        if ovf_pool is not None
+        else None,
+    )
+    if rc < 0:
+        raise RuntimeError(
+            "tt_backfill_patches: unresolved uid in patch set"
+        )
 
 
 def count_batch(

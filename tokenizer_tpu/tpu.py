@@ -1569,8 +1569,13 @@ class TpuTokenizer(TikTokenizer):
             return None
         # Route decision BEFORE any side effects (stats, special rows):
         # estimate bytes from code-point counts — a pure heuristic input.
-        if not self._should_fuse(sum(len(t) for t in texts)):
-            return None  # device-preferred: classic path handles waves
+        # Host-predicted chunks fuse first-seen merges into the scan;
+        # device-predicted chunks still take the SAME single-pass emit,
+        # but with fusing disabled so every first-seen piece defers to
+        # one device wave whose results the NATIVE backfill splices in —
+        # the emit architecture covers both routes (no assemble phase
+        # either way).
+        fuse = self._should_fuse(sum(len(t) for t in texts))
         native = self._native
         if self._split_ctx is None:
             self._split_ctx = native.SplitContext(self._native_pid)
@@ -1579,7 +1584,8 @@ class TpuTokenizer(TikTokenizer):
         )
         ids_buf = None
         if seg_starts:
-            self._prepare_fused_capacity(len(buf))
+            if fuse:
+                self._prepare_fused_capacity(len(buf))
             res = self._split_ctx.split_emit_batch(
                 buf,
                 np.asarray(seg_starts),
@@ -1592,6 +1598,7 @@ class TpuTokenizer(TikTokenizer):
                 self._n_rows,
                 ovf_pool=self._ovf_pool,
                 old_gen=self._old_gen_native(),
+                fuse=fuse,
             )
             if isinstance(res[0], str):  # "patch_overflow"
                 # Pathological deferral volume: resolve the returned
@@ -1675,31 +1682,20 @@ class TpuTokenizer(TikTokenizer):
 
     def _backfill_patches(self, ids_buf, seg_offs, seg_nt, patches):
         """Resolve emit HOLES: splice each patched piece's now-resolved
-        ids into its segment stream and close the reserved gaps."""
-        p_seg, p_pos, p_uid, p_res = patches
-        order = np.lexsort((p_pos, p_seg))
-        i = 0
-        while i < len(order):
-            k = int(p_seg[order[i]])
-            j = i
-            while j < len(order) and int(p_seg[order[j]]) == k:
-                j += 1
-            off = int(seg_offs[k])
-            nt = int(seg_nt[k])
-            region = ids_buf[off : off + nt]
-            out_parts: List[np.ndarray] = []
-            prev = 0
-            for t in order[i:j]:
-                pos = int(p_pos[t])
-                out_parts.append(region[prev:pos].copy())
-                row = int(self._uid_rows[int(p_uid[t])])
-                out_parts.append(np.asarray(self._row_ids(row), np.int32))
-                prev = pos + int(p_res[t])
-            out_parts.append(region[prev:nt].copy())
-            new = np.concatenate(out_parts)
-            ids_buf[off : off + new.size] = new
-            seg_nt[k] = new.size
-            i = j
+        ids into its segment stream and close the reserved gaps — one
+        native in-place compaction call (a device-routed cold chunk can
+        carry one hole per first-seen piece, so this must not be a
+        python loop)."""
+        self._native.backfill_patches(
+            ids_buf,
+            seg_offs,
+            seg_nt,
+            patches,
+            self._rows,
+            self._row_len,
+            self._uid_rows,
+            ovf_pool=self._ovf_pool,
+        )
 
     # -- bulk encode --------------------------------------------------------
 
