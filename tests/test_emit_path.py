@@ -227,3 +227,50 @@ def test_emit_device_route_no_fuse(toks):
     for g, t in zip(got, texts0):
         assert list(g) == host.encode(t)
     assert tpu.stats.fused_pieces == 0  # fusing was really off
+
+
+def test_stream_router_flip_dev_to_emit(gpt2_vocab):
+    """A classic DEVICE-deferred chunk followed by a host-routed EMIT
+    chunk that repeats its pieces: the stream must drain the in-flight
+    wave before the emit scan reads those rows (uid_rows publishes at
+    registration, before the wave resolves)."""
+    import hashlib
+
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+    # Force the adaptive router into a device-favoring state on the CPU
+    # backend (single-device jit path).
+    tok._ensure_device()
+    tok._dev_ready = True
+    tok._dev_probe_started = True
+    tok._dev_event.set()
+    tok._dev_pp = 1e-12
+    tok._host_pp = 1.0
+
+    def word(tag, j):
+        h = hashlib.blake2b(f"{tag}:{j}".encode(), digest_size=6).digest()
+        return "".join(chr(97 + b % 26) for b in h)
+
+    # Chunk 1: >1024 uniques -> device wave, deferred by the stream.
+    big = [" ".join(word("flip", j) for j in range(1500))]
+    # Chunk 2: repeats chunk 1's pieces (+ a couple new) at a size the
+    # router sends to the host -> emit route.
+    rep = [" ".join(word("flip", j) for j in range(40)) + " fresh bits"]
+    # High initial news estimate -> chunk 1 predicts a >1024-piece wave
+    # (device); the post-chunk EMA then drops the estimate so chunk 2
+    # predicts host -> the flip under test.
+    tok._news_per_byte = 1.0
+    got = [
+        ids
+        for b in tok.encode_batch_stream(iter([big, rep]))
+        for ids in b
+    ]
+    want = [host.encode(big[0]), host.encode(rep[0])]
+    assert list(got[0]) == want[0]
+    assert list(got[1]) == want[1]
+    assert tok.stats.device_pieces > 0, "chunk 1 never took the device"

@@ -1548,9 +1548,7 @@ class TpuTokenizer(TikTokenizer):
 
     # -- fused scan+merge+EMIT (one native pass, no assemble) --------------
 
-    def _native_encode_emit(
-        self, texts: Sequence[str], allowed
-    ) -> Optional[List[np.ndarray]]:
+    def _native_encode_emit(self, texts: Sequence[str], allowed):
         """One-pass encode: bytes -> token ids inside the native scan.
 
         In steady state every piece's row is already resolved, so the
@@ -1582,7 +1580,7 @@ class TpuTokenizer(TikTokenizer):
         buf, seg_starts, seg_ends, text_items = self._build_segments(
             texts, allowed
         )
-        ids_buf = None
+        ids_buf = seg_offs = seg_nt = None
         if seg_starts:
             if fuse:
                 self._prepare_fused_capacity(len(buf))
@@ -1636,14 +1634,26 @@ class TpuTokenizer(TikTokenizer):
             self._note_news_rate(len(buf), n_fused + len(news[0]))
             self.stats.pieces += int(seg_np.sum())
             if len(news[0]):
-                # Resolve the deferred wave SYNCHRONOUSLY (the route
-                # predicate said host), then backfill its holes.
+                # The wave resolves SYNCHRONOUSLY before any output (or
+                # backfill) is built.  Deferring a device wave here and
+                # scanning the next chunk concurrently is UNSOUND for
+                # the emit architecture: uid_rows publishes at
+                # registration time, so the next chunk's emit would
+                # read rows the in-flight wave has not written yet
+                # (measured: empty/garbage streams).  The stream
+                # therefore routes device-predicted chunks through the
+                # CLASSIC deferred path instead (see
+                # encode_batch_stream); making emit overlap-safe needs
+                # finish-time uid publication — ROADMAP.
                 wave = self._register_new_uids_arrays(news, buf)
                 self._finish_new_piece_rows(self._dispatch_wave(wave))
             if len(patches[0]):
                 self._backfill_patches(
                     ids_buf, seg_offs, seg_nt, patches
                 )
+        return self._emit_outputs(ids_buf, seg_offs, seg_nt, text_items)
+
+    def _emit_outputs(self, ids_buf, seg_offs, seg_nt, text_items):
         # Final per-text streams: ZERO-COPY views into the fresh id
         # buffer (its refcount keeps it alive) — the dominant
         # single-segment case never copies; only texts interleaving
@@ -1852,7 +1862,30 @@ class TpuTokenizer(TikTokenizer):
                 # deferred chunk: emit only APPENDS rows/uids beyond the
                 # deferred chunk's high-water mark and writes a fresh
                 # ring slot (same disjointness argument as split(k+1)).
-                out = self._native_encode_emit(texts, allowed)
+                # Emit serves host-predicted chunks (one native pass,
+                # no assemble).  Device-predicted chunks keep the
+                # CLASSIC split/defer path: its assemble runs after the
+                # wave finishes, so overlapping split(k+1) with the
+                # in-flight wave is sound there — the emit path reads
+                # rows at scan time and is not (see _native_encode_emit).
+                take_emit = self._should_fuse(sum(len(t) for t in texts))
+                if (
+                    take_emit
+                    and deferred is not None
+                    and deferred[0] == "dev"
+                ):
+                    # Router flipped dev->host across chunks: the
+                    # deferred chunk's wave rows are still in flight and
+                    # the emit scan would read them (uid_rows publishes
+                    # at registration) — drain first.  Host-deferred
+                    # chunks are safe: their rows resolved at dispatch.
+                    yield resolve(deferred)
+                    deferred = None
+                out = (
+                    self._native_encode_emit(texts, allowed)
+                    if take_emit
+                    else None
+                )
                 if out is not None:
                     if deferred is not None:
                         yield resolve(deferred)
