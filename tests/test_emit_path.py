@@ -274,3 +274,46 @@ def test_stream_router_flip_dev_to_emit(gpt2_vocab):
     assert list(got[0]) == want[0]
     assert list(got[1]) == want[1]
     assert tok.stats.device_pieces > 0, "chunk 1 never took the device"
+
+
+def test_stream_alternating_routes_chain(gpt2_vocab):
+    """Alternating device/host chunks through the deferred-emit stream:
+    later host chunks hole-reference earlier in-flight waves' pieces
+    (must_defer token chaining), everything resolves in order."""
+    import hashlib
+
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+    tok._ensure_device()
+    tok._dev_ready = True
+    tok._dev_probe_started = True
+    tok._dev_event.set()
+    tok._dev_pp = 1e-12
+    tok._host_pp = 1.0
+
+    def word(tag, j):
+        h = hashlib.blake2b(f"{tag}:{j}".encode(), digest_size=6).digest()
+        return "".join(chr(97 + b % 26) for b in h)
+
+    batches = []
+    for r in range(3):
+        # Big unique chunk -> device wave (estimate pushed high first).
+        batches.append([" ".join(word(f"r{r}", j) for j in range(1400))])
+        # Small chunk repeating the previous chunk's pieces -> host/emit
+        # with holes referencing the (possibly in-flight) wave.
+        batches.append(
+            [" ".join(word(f"r{r}", j) for j in range(30)) + " tail bit"]
+        )
+    tok._news_per_byte = 1.0
+    got = [
+        ids for b in tok.encode_batch_stream(iter(batches)) for ids in b
+    ]
+    want = [host.encode(b[0]) for b in batches]
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert list(g) == w, f"chunk {i}"
+    assert tok.stats.device_pieces > 0

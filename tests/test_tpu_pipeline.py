@@ -284,11 +284,17 @@ def test_register_new_uids_unsorted_news(pair):
     )
     wave = tpu._register_new_uids_arrays(news, buf)
     assert len(tpu._uid_rows) >= n + 2
-    rows, starts, ends, wbuf = wave
+    rows, starts, ends, wbuf, uids = wave
+    # uid -> row publication is DEFERRED to wave resolution; the wave
+    # carries the (rows, uids) pairing instead.
+    assert int(tpu._uid_rows[n]) == -1 and int(tpu._uid_rows[n + 1]) == -1
+    assert sorted(uids.tolist()) == [n, n + 1]
+    assert wbuf is buf and list(starts) == [0, 5]
+    # Resolution publishes them.
+    tpu._finish_new_piece_rows(tpu._dispatch_wave(wave))
     assert set(rows.tolist()) == {
         int(tpu._uid_rows[n]), int(tpu._uid_rows[n + 1])
     }
-    assert wbuf is buf and list(starts) == [0, 5]
 
 
 def test_adaptive_wave_router_gates_on_probe(gpt2_vocab):

@@ -729,17 +729,20 @@ class TpuTokenizer(TikTokenizer):
             return None
         import time
 
-        rows_arr, starts, ends, buf = wave
+        rows_arr, starts, ends, buf, uids = wave
         n_wave = len(rows_arr)
         self.stats.unique_pieces += n_wave
         if self._route_wave_host(n_wave):
             t0 = time.perf_counter()
             self._host_wave_resolve_spans(buf, starts, ends, rows_arr)
+            # Rows complete: publish uid -> row (deferred from
+            # registration so in-flight rows are never visible).
+            self._uid_rows[uids] = rows_arr
             self._note_host_wave(n_wave, time.perf_counter() - t0)
             return None
         if self._native is not None and self.mesh is None:
             self._host_waves_since_dev = 0
-        return self._dispatch_device_spans(buf, rows_arr, starts, ends)
+        return self._dispatch_device_spans(buf, rows_arr, starts, ends, uids)
 
     def _dispatch_new_piece_rows(self, as_bytes: List[bytes], row_ids: List[int]):
         """Pack unseen pieces and dispatch their device merges (async).
@@ -838,7 +841,7 @@ class TpuTokenizer(TikTokenizer):
         t_dispatch = time.perf_counter() - t_dispatch0
         return as_bytes, row_ids, plan, pending, fused, t_dispatch
 
-    def _dispatch_device_spans(self, buf, rows_arr, starts, ends):
+    def _dispatch_device_spans(self, buf, rows_arr, starts, ends, uids=None):
         """Span-wave device dispatch: zero per-piece Python.
 
         The native wave arrives as byte ranges into one buffer;
@@ -868,6 +871,7 @@ class TpuTokenizer(TikTokenizer):
             pending,
             fused,
             t_dispatch,
+            uids,
         )
 
     def _mesh_wave_fn(self, shapes: tuple):
@@ -1097,9 +1101,18 @@ class TpuTokenizer(TikTokenizer):
         next #2's blocking-cost cut)."""
         import time
 
-        _, buf, rows_arr, starts, ends, plan, pending, fused, t_dispatch = (
-            handle
-        )
+        (
+            _,
+            buf,
+            rows_arr,
+            starts,
+            ends,
+            plan,
+            pending,
+            fused,
+            t_dispatch,
+            uids,
+        ) = handle
         t_finish0 = time.perf_counter()
         bucket_out = self._bucket_out(plan.batches, pending, fused)
         dst_all = rows_arr.astype(np.int64)
@@ -1134,6 +1147,9 @@ class TpuTokenizer(TikTokenizer):
             pb = buf[int(starts[i]) : int(ends[i])]
             self._store_row(int(rows_arr[i]), self._oracle_piece(pb))
             self.stats.host_fallback_pieces += 1
+        if uids is not None:
+            # Every wave row is now complete: publish uid -> row.
+            self._uid_rows[uids] = rows_arr
         dt = t_dispatch + (time.perf_counter() - t_finish0)
         self._note_dev_cost(dt, len(rows_arr))
 
@@ -1254,7 +1270,12 @@ class TpuTokenizer(TikTokenizer):
             self._uid_rows = grown
         r0 = self._reserve_rows(n)
         rows = np.arange(r0, r0 + n, dtype=np.int32)
-        self._uid_rows[uids] = rows
+        # uid -> row publication is DEFERRED to wave RESOLUTION (host
+        # resolve / device finish): a published uid whose row is still
+        # in flight would let a concurrently-scanned chunk's emit read
+        # garbage rows (the stream overlaps split(k+1) with wave k).
+        # Force-host and old-gen-resurrected entries publish immediately
+        # below — their rows are complete.
         # UTF-16 units per piece: bytes - continuations + astral leads,
         # computed over the news spans ONLY (the spans are a small
         # fraction of the batch buffer; full-buffer prefix sums were
@@ -1279,16 +1300,24 @@ class TpuTokenizer(TikTokenizer):
                 pb = buf[int(starts[j]) : int(ends[j])]
                 if pb in self._force_host_bytes:
                     self._store_row(int(rows[j]), self._oracle_piece(pb))
+                    self._uid_rows[int(uids[j])] = rows[j]  # complete
                     self.stats.host_fallback_pieces += 1
                     keep[j] = False
             if not keep.all():
-                rows, starts, ends = rows[keep], starts[keep], ends[keep]
+                rows, starts, ends, uids = (
+                    rows[keep],
+                    starts[keep],
+                    ends[keep],
+                    uids[keep],
+                )
             if len(rows) == 0:
                 return None
-        rows, starts, ends = self._resurrect_old_gen(buf, rows, starts, ends)
+        rows, starts, ends, uids = self._resurrect_old_gen(
+            buf, rows, starts, ends, uids
+        )
         if len(rows) == 0:
             return None
-        return (rows, starts, ends, buf)
+        return (rows, starts, ends, buf, uids)
 
     def _old_gen_native(self):
         """The frozen old generation in split_merge_batch's layout
@@ -1299,27 +1328,28 @@ class TpuTokenizer(TikTokenizer):
         octx, ouid_rows, orows, orow_len, orow_u16, _oovf, on_rows = og
         return (octx, ouid_rows, orows, orow_len, orow_u16, on_rows)
 
-    def _resurrect_old_gen(self, buf, rows, starts, ends):
+    def _resurrect_old_gen(self, buf, rows, starts, ends, uids):
         """Copy already-resolved rows from the frozen old generation.
 
         Probes the retired interning context (lock-free — frozen, no
         writers) for each first-seen span; hits copy their id row,
-        length, and overflow ids across in bulk, never re-merging.
-        Returns the filtered (rows, starts, ends) still needing a merge.
+        length, and overflow ids across in bulk (and publish uid->row —
+        the rows are complete), never re-merging.  Returns the filtered
+        (rows, starts, ends, uids) still needing a merge.
         """
         og = self._old_gen
         if og is None or len(rows) == 0:
-            return rows, starts, ends
+            return rows, starts, ends, uids
         octx, ouid_rows, orows, orow_len, _orow_u16, oovf, on_rows = og
         ouids = octx.lookup_spans(buf, starts, ends)
         hit = np.nonzero(ouids >= 0)[0]
         if hit.size == 0:
-            return rows, starts, ends
+            return rows, starts, ends, uids
         orr = ouid_rows[ouids[hit]].astype(np.int64)
         ok = (orr >= 0) & (orr < on_rows)
         hit, orr = hit[ok], orr[ok]
         if hit.size == 0:
-            return rows, starts, ends
+            return rows, starts, ends, uids
         m = orow_len[orr]
         norm = m >= 0
         nsel = np.nonzero(norm)[0]
@@ -1333,11 +1363,12 @@ class TpuTokenizer(TikTokenizer):
             k = -int(m[t]) - 1
             s = int(orows[o_r, 0])
             self._spill_overflow(r, oovf[s : s + k])
+        self._uid_rows[uids[hit]] = rows[hit]  # complete rows: publish
         self.stats.dedup_gen_copies += hit.size
         self.stats.unique_pieces += hit.size
         miss = np.ones(len(rows), bool)
         miss[hit] = False
-        return rows[miss], starts[miss], ends[miss]
+        return rows[miss], starts[miss], ends[miss], uids[miss]
 
     def _assemble_overflow_segment(
         self, uid_buf, seg_offs, seg_counts, k: int
@@ -1548,7 +1579,13 @@ class TpuTokenizer(TikTokenizer):
 
     # -- fused scan+merge+EMIT (one native pass, no assemble) --------------
 
-    def _native_encode_emit(self, texts: Sequence[str], allowed):
+    def _native_encode_emit(
+        self,
+        texts: Sequence[str],
+        allowed,
+        defer: bool = False,
+        must_defer: bool = False,
+    ):
         """One-pass encode: bytes -> token ids inside the native scan.
 
         In steady state every piece's row is already resolved, so the
@@ -1633,24 +1670,46 @@ class TpuTokenizer(TikTokenizer):
             self.stats.dedup_gen_copies += n_copied
             self._note_news_rate(len(buf), n_fused + len(news[0]))
             self.stats.pieces += int(seg_np.sum())
+            handle = None
             if len(news[0]):
-                # The wave resolves SYNCHRONOUSLY before any output (or
-                # backfill) is built.  Deferring a device wave here and
-                # scanning the next chunk concurrently is UNSOUND for
-                # the emit architecture: uid_rows publishes at
-                # registration time, so the next chunk's emit would
-                # read rows the in-flight wave has not written yet
-                # (measured: empty/garbage streams).  The stream
-                # therefore routes device-predicted chunks through the
-                # CLASSIC deferred path instead (see
-                # encode_batch_stream); making emit overlap-safe needs
-                # finish-time uid publication — ROADMAP.
                 wave = self._register_new_uids_arrays(news, buf)
-                self._finish_new_piece_rows(self._dispatch_wave(wave))
+                handle = self._dispatch_wave(wave)
+            # SOUNDNESS: uid -> row publication happens at wave
+            # RESOLUTION (host resolve inside _dispatch_wave, or device
+            # finish), never at registration — a concurrently-scanned
+            # later chunk can only see COMPLETE rows; in-flight pieces
+            # read as unpublished and become backfillable holes.  A
+            # chunk may therefore be DEFERRED with its wave executing
+            # while the stream scans the next chunk, PROVIDED chunks
+            # resolve in order (a later chunk's holes may reference an
+            # earlier chunk's uids — ``must_defer`` forces the token
+            # even when this chunk's own news resolved synchronously).
+            if defer and (
+                handle is not None or (must_defer and len(patches[0]))
+            ):
+                return (
+                    "emit_deferred",
+                    ids_buf,
+                    seg_offs,
+                    seg_nt,
+                    text_items,
+                    patches,
+                    handle,
+                )
+            self._finish_new_piece_rows(handle)
             if len(patches[0]):
                 self._backfill_patches(
                     ids_buf, seg_offs, seg_nt, patches
                 )
+        return self._emit_outputs(ids_buf, seg_offs, seg_nt, text_items)
+
+    def _resolve_emit_deferred(self, token) -> List[np.ndarray]:
+        """Finish a deferred emit chunk: block on its wave (publishing
+        uid -> row), backfill the holes, build the outputs."""
+        _, ids_buf, seg_offs, seg_nt, text_items, patches, handle = token
+        self._finish_new_piece_rows(handle)
+        if len(patches[0]):
+            self._backfill_patches(ids_buf, seg_offs, seg_nt, patches)
         return self._emit_outputs(ids_buf, seg_offs, seg_nt, text_items)
 
     def _emit_outputs(self, ids_buf, seg_offs, seg_nt, text_items):
@@ -1839,6 +1898,11 @@ class TpuTokenizer(TikTokenizer):
             if d[0] == "host":
                 check_guard(d[2])
                 return d[1].result()
+            if d[0] == "emit":
+                _, token, g = d
+                out = self._resolve_emit_deferred(token)
+                check_guard(g)
+                return out
             _, pstate, phandle, g = d
             self._finish_new_piece_rows(phandle)
             check_guard(g)
@@ -1862,31 +1926,29 @@ class TpuTokenizer(TikTokenizer):
                 # deferred chunk: emit only APPENDS rows/uids beyond the
                 # deferred chunk's high-water mark and writes a fresh
                 # ring slot (same disjointness argument as split(k+1)).
-                # Emit serves host-predicted chunks (one native pass,
-                # no assemble).  Device-predicted chunks keep the
-                # CLASSIC split/defer path: its assemble runs after the
-                # wave finishes, so overlapping split(k+1) with the
-                # in-flight wave is sound there — the emit path reads
-                # rows at scan time and is not (see _native_encode_emit).
-                take_emit = self._should_fuse(sum(len(t) for t in texts))
-                if (
-                    take_emit
-                    and deferred is not None
-                    and deferred[0] == "dev"
-                ):
-                    # Router flipped dev->host across chunks: the
-                    # deferred chunk's wave rows are still in flight and
-                    # the emit scan would read them (uid_rows publishes
-                    # at registration) — drain first.  Host-deferred
-                    # chunks are safe: their rows resolved at dispatch.
-                    yield resolve(deferred)
-                    deferred = None
-                out = (
-                    self._native_encode_emit(texts, allowed)
-                    if take_emit
-                    else None
+                # The emit route serves EVERY native chunk (one pass,
+                # no assemble): host-predicted chunks resolve inline;
+                # device-predicted chunks come back as deferred tokens
+                # whose wave executes while the NEXT chunk scans —
+                # sound because uid -> row publishes only at wave
+                # resolution, and chunks resolve in order (see
+                # _native_encode_emit's soundness note).
+                out = self._native_encode_emit(
+                    texts,
+                    allowed,
+                    defer=True,
+                    must_defer=deferred is not None,
                 )
                 if out is not None:
+                    if (
+                        isinstance(out, tuple)
+                        and out
+                        and out[0] == "emit_deferred"
+                    ):
+                        if deferred is not None:
+                            yield resolve(deferred)
+                        deferred = ("emit", out, guard(sample=False))
+                        continue
                     if deferred is not None:
                         yield resolve(deferred)
                         deferred = None
