@@ -215,6 +215,7 @@ def test_all_sum_multiprocess_contract(monkeypatch):
     import tokenizer_tpu.parallel.multihost as mh
     from jax.experimental import multihost_utils
 
+    monkeypatch.setattr(mh, "in_distributed_job", lambda: True)
     monkeypatch.setattr(jax, "process_count", lambda: 3)
     monkeypatch.setattr(
         multihost_utils,

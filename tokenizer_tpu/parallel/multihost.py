@@ -38,7 +38,23 @@ def initialize(
     )
 
 
+def in_distributed_job() -> bool:
+    """True only after :func:`initialize` joined a multi-process job.
+
+    Checked WITHOUT touching the jax backend: ``jax.process_count()``
+    would initialize the runtime, and on a host whose accelerator
+    transport is wedged that init can block for minutes — single-process
+    callers (the common case, and anything running under the
+    ``TOKENIZER_TPU_NO_DEVICE`` kill switch) must never pay that.
+    """
+    import jax.distributed
+
+    return bool(jax.distributed.is_initialized())
+
+
 def process_info() -> tuple:
+    if not in_distributed_job():
+        return 0, 1
     import jax
 
     return jax.process_index(), jax.process_count()
@@ -55,9 +71,11 @@ def all_sum(values: Sequence[float]) -> np.ndarray:
     of the job; the tiny [P, K] result is summed on the host.
     Single-process: returns the input unchanged (no device round trip).
     """
+    arr = np.asarray(values, dtype=np.float64)
+    if not in_distributed_job():
+        return arr  # single process: no backend init, no round trip
     import jax
 
-    arr = np.asarray(values, dtype=np.float64)
     if jax.process_count() == 1:
         return arr
     from jax.experimental import multihost_utils

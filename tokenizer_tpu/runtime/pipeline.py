@@ -181,10 +181,11 @@ def encode_corpus(
     """
     if shard is None or n_shards is None:
         try:
-            import jax
+            from ..parallel.multihost import process_info
 
-            shard = jax.process_index()
-            n_shards = jax.process_count()
+            # Backend-init-free when single-process (a wedged
+            # accelerator transport must never block a host-only run).
+            shard, n_shards = process_info()
         except Exception:
             shard, n_shards = 0, 1
 
