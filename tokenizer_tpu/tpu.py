@@ -1819,25 +1819,25 @@ class TpuTokenizer(TikTokenizer):
     ):
         """Pipelined bulk encode over an iterable of text batches.
 
-        Software-pipelines the stages so the HOST splits batch k+1 while
-        the DEVICE merges batch k's unique pieces (SURVEY.md §7 stage 5
-        double-buffering, VERDICT.md round-1 item 5):
+        Every native chunk takes the one-pass EMIT route (scan -> token
+        ids inline; no uid buffer, no assemble phase —
+        :meth:`_native_encode_emit`).  Host-predicted chunks resolve and
+        yield immediately; a chunk whose first-seen wave routes to the
+        DEVICE comes back as a deferred token, and the stream scans
+        batch k+1 while wave k executes on the chip (SURVEY.md §7 stage
+        5 double-buffering):
 
-            split(k) -> dispatch merges(k) -> split(k+1)
-                     -> finish merges(k) -> assemble(k) -> yield k
+            emit-scan(k) -> dispatch wave(k) -> emit-scan(k+1)
+                         -> finish wave(k) -> backfill(k) -> yield k
 
-        Dispatch is jax-async, so ``split(k+1)`` runs concurrently with
-        the device executing batch k's tiles.  When the adaptive router
-        resolves batch k entirely on the host (no device wave), the
-        OTHER overlap applies: assemble(k) runs on a worker thread
-        concurrently with split(k+1) — both are native calls that
-        release the GIL, so on multi-core hosts the two phases of the
-        steady state truly parallelize (disjointness argument at the
-        ``deferred`` comment below).  Output order and content are
-        bit-identical to ``[self.encode_batch(b) for b in batches]`` —
-        batch k+1's split only consults the uid->row map (assigned at
-        split(k) time), never row CONTENTS of its own batch, and only
-        allocates rows/uids beyond those assemble(k) reads.
+        SOUNDNESS: uid -> row publishes only at wave RESOLUTION, so
+        scan(k+1) sees wave-k pieces as unpublished and emits
+        backfillable HOLES for them; chunks resolve strictly in order
+        (``must_defer`` token-chains a later chunk whose holes may
+        reference an earlier in-flight wave).  Output order and content
+        are bit-identical to ``[self.encode_batch(b) for b in
+        batches]``.  The classic split/assemble pipeline below remains
+        for force-host vocabularies and as the patch-overflow fallback.
         """
         allowed = self._resolve_allowed(allowed_special)
         if self._native is None or self._native_pid is None:
