@@ -317,3 +317,42 @@ def test_stream_alternating_routes_chain(gpt2_vocab):
     for i, (g, w) in enumerate(zip(got, want)):
         assert list(g) == w, f"chunk {i}"
     assert tok.stats.device_pieces > 0
+
+
+def test_stream_patch_overflow_with_deferred_wave(gpt2_vocab, monkeypatch):
+    """Patch-scratch overflow on chunk k+1 while chunk k's device wave
+    is still deferred: the classic fallback must drain the pending wave
+    first (its uids are unpublished by design; the native assembler
+    now fails loudly with -7 instead of reading row_len[-1])."""
+    import hashlib
+
+    from tokenizer_tpu.engine import TikTokenizer
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern, mesh=None)
+    host = TikTokenizer(gpt2_vocab, spec.special_tokens, spec.pattern)
+    tok._ensure_device()
+    tok._dev_ready = True
+    tok._dev_probe_started = True
+    tok._dev_event.set()
+    tok._dev_pp = 1e-12
+    tok._host_pp = 1.0
+    tok._news_per_byte = 1.0
+    ctx_cls = type(tok._native.SplitContext(1))
+    monkeypatch.setattr(ctx_cls, "_PATCH_CAP", 8)
+
+    def word(tag, j):
+        h = hashlib.blake2b(f"{tag}:{j}".encode(), digest_size=6).digest()
+        return "".join(chr(97 + b % 26) for b in h)
+
+    big = [" ".join(word("ov", j) for j in range(1500))]  # dev wave
+    # Repeats >8 of chunk 1's pieces -> every one a hole -> overflow.
+    rep = [" ".join(word("ov", j) for j in range(200))]
+    got = [
+        ids for b in tok.encode_batch_stream(iter([big, rep])) for ids in b
+    ]
+    assert list(got[0]) == host.encode(big[0])
+    assert list(got[1]) == host.encode(rep[0])
+    assert tok.stats.device_pieces > 0

@@ -39,17 +39,35 @@ def initialize(
 
 
 def in_distributed_job() -> bool:
-    """True only after :func:`initialize` joined a multi-process job.
+    """True when this process is (or may be) part of a multi-host job.
 
-    Checked WITHOUT touching the jax backend: ``jax.process_count()``
-    would initialize the runtime, and on a host whose accelerator
-    transport is wedged that init can block for minutes — single-process
-    callers (the common case, and anything running under the
-    ``TOKENIZER_TPU_NO_DEVICE`` kill switch) must never pay that.
+    Checked WITHOUT touching the jax backend where possible:
+    ``jax.process_count()`` would initialize the runtime, and on a host
+    whose accelerator transport is wedged that init can block for
+    minutes — single-process callers (the common case, and anything
+    running under the ``TOKENIZER_TPU_NO_DEVICE`` kill switch) must
+    never pay that.  Two positive signals:
+
+    * an explicit ``jax.distributed.initialize`` happened; or
+    * Cloud-TPU pod environment markers are present (jax auto-detects
+      multi-host from libtpu WITHOUT an explicit initialize there, so
+      gating on is_initialized alone would silently collapse a pod
+      job to shard 0-of-1 on every host).
     """
+    import os
+
     import jax.distributed
 
-    return bool(jax.distributed.is_initialized())
+    if jax.distributed.is_initialized():
+        return True
+    # Cloud TPU pod markers: TPU_WORKER_HOSTNAMES lists every host of
+    # the slice (commas => more than one); MEGASCALE_* marks multislice.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hosts:
+        return True
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    return False
 
 
 def process_info() -> tuple:

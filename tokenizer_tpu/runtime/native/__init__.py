@@ -734,9 +734,12 @@ class SplitContext:
         acquire/release protocol; garbage >= 0 would alias rows).
 
         Returns ``(ids_buffer, seg_offsets, seg_ntokens, seg_npieces,
-        news, new_n_rows, n_fused, n_copied, patches)``.  The id buffer
-        is FRESH per call (not ring-recycled) — callers may hand out
-        zero-copy views of it.
+        news, new_n_rows, n_fused, n_copied, patches)``.  OWNERSHIP:
+        the id buffer comes from a refcount-gated pool — it is reused
+        ONLY when no live reference (including numpy views, which hold
+        it via ``.base``) remains, so handing out zero-copy views is
+        safe; holding a RAW pointer/memoryview without a live view
+        reference is NOT (see :meth:`_emit_buffer`).
         """
         if nthreads <= 0:
             nthreads = default_threads()

@@ -72,6 +72,9 @@ _HOST_WAVE_MAX = 1024
 #: exit — see _start_channel_probe.
 _PROBE_EVENTS: list = []
 _PROBE_ATEXIT = False
+#: set by the atexit drain; pre-arm loops poll it between compiles so
+#: normal process exits are not misclassified as wedged transports.
+_SHUTTING_DOWN = False
 
 
 @dataclass
@@ -315,13 +318,19 @@ class TpuTokenizer(TikTokenizer):
 
         Operational/benchmark hook: rotation deliberately keeps the old
         bank warm, so a "measure cold" harness must clear it too.
+        Unconditional (unlike rotation's half-bound gate) and does not
+        count as a rotation in ``stats.dedup_resets``.
         """
-        saved = self._max_unique_rows
-        self._max_unique_rows = 0
-        try:
-            self._maybe_reset_dedup()
-        finally:
-            self._max_unique_rows = saved
+        self._piece_rows = {}
+        self._special_rows = {}
+        self._rows = np.zeros((_INIT_ROWS, _MAX_OUT), dtype=np.int32)
+        self._row_len = np.zeros(_INIT_ROWS, dtype=np.int32)
+        self._row_u16 = np.zeros(_INIT_ROWS, dtype=np.int32)
+        self._n_rows = 0
+        self._ovf_pool = np.empty(4096, dtype=np.int32)
+        self._ovf_len = 0
+        self._uid_rows = np.full(_INIT_ROWS, -1, dtype=np.int32)
+        self._split_ctx = None
         self._old_gen = None
 
     def _oracle_piece(self, pbytes: bytes):
@@ -539,7 +548,16 @@ class TpuTokenizer(TikTokenizer):
             import atexit
 
             def _drain_probes():
-                pending = [e for e in _PROBE_EVENTS if not e.wait(2.0)]
+                # Signal cooperative shutdown first: the pre-arm loop
+                # checks this between compiles, so a probe thread that
+                # is merely warming caches (0.4-6 s per combo) exits
+                # promptly and the process keeps its NORMAL exit path
+                # (real exit code, all atexit handlers).  Only a thread
+                # genuinely wedged inside one jax call trips the
+                # os._exit fallback below.
+                global _SHUTTING_DOWN
+                _SHUTTING_DOWN = True
+                pending = [e for e in _PROBE_EVENTS if not e.wait(8.0)]
                 if pending:
                     # A probe is still wedged inside jax C++ (stalled
                     # transport d2h).  Letting CPython finalize would
@@ -959,6 +977,8 @@ class TpuTokenizer(TikTokenizer):
         except Exception:
             return
         for entry in hist[:4]:
+            if _SHUTTING_DOWN:
+                return
             try:
                 shapes = tuple((int(L), int(B)) for L, B in entry)
                 fn = self._wave_fn(shapes, record=False)
@@ -1251,8 +1271,9 @@ class TpuTokenizer(TikTokenizer):
 
         ``news`` is the (uid, start, end) array triple from
         ``split_batch``; byte ranges index into ``buf``.  Returns the
-        wave ``(rows, starts, ends, buf)`` still needing a merge, or
-        None.  No per-piece Python: a cold 8 MB corpus registers ~1e5
+        wave ``(rows, starts, ends, buf, uids)`` still needing a merge
+        (uid -> row publication happens at wave RESOLUTION — see
+        _dispatch_wave / _finish_span_rows), or None.  No per-piece Python: a cold 8 MB corpus registers ~1e5
         pieces, and bytes-object churn plus per-piece loops dominated
         the old registration path.
         """
@@ -1645,8 +1666,16 @@ class TpuTokenizer(TikTokenizer):
                 if len(news[0]):
                     wave = self._register_new_uids_arrays(news, buf)
                     self._finish_new_piece_rows(self._dispatch_wave(wave))
+                prebuilt = (buf, seg_starts, seg_ends, text_items)
+                if must_defer:
+                    # An EARLIER chunk's wave is still deferred with
+                    # unpublished uids; the classic assemble below would
+                    # read them (native -7 guard).  Hand back to the
+                    # stream to drain the pending chunk, then retry this
+                    # one classically with the prebuilt segments.
+                    return ("emit_fallback", prebuilt)
                 state = self._native_split_phase(
-                    texts, allowed, prebuilt=(buf, seg_starts, seg_ends, text_items)
+                    texts, allowed, prebuilt=prebuilt
                 )
                 self._finish_new_piece_rows(self._dispatch_wave(state[4]))
                 return self._native_assemble_phase(state)
@@ -1939,6 +1968,7 @@ class TpuTokenizer(TikTokenizer):
                     defer=True,
                     must_defer=deferred is not None,
                 )
+                prebuilt = None
                 if out is not None:
                     if (
                         isinstance(out, tuple)
@@ -1949,12 +1979,26 @@ class TpuTokenizer(TikTokenizer):
                             yield resolve(deferred)
                         deferred = ("emit", out, guard(sample=False))
                         continue
-                    if deferred is not None:
+                    if (
+                        isinstance(out, tuple)
+                        and out
+                        and out[0] == "emit_fallback"
+                    ):
+                        # Patch-scratch overflow while an earlier chunk
+                        # was deferred: drain it, then fall through to
+                        # the classic path with the prebuilt segments.
                         yield resolve(deferred)
                         deferred = None
-                    yield out
-                    continue
-                state = self._native_split_phase(texts, allowed)
+                        prebuilt = out[1]
+                    else:
+                        if deferred is not None:
+                            yield resolve(deferred)
+                            deferred = None
+                        yield out
+                        continue
+                state = self._native_split_phase(
+                    texts, allowed, prebuilt=prebuilt
+                )
                 handle = self._dispatch_wave(state[4])
                 if deferred is not None:
                     yield resolve(deferred)
