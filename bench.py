@@ -607,9 +607,41 @@ def scan_threads_bench(docs, cycles: int = 5):
         points.append(
             {"threads": t, "MBps": round(n / b / 1e6, 1)}
         )
+    # The PRODUCTION steady pass is scan+intern+EMIT (token ids written
+    # in-scan); measure it at the same thread tiers so the artifact
+    # carries the e2e-relevant native ceiling, not just the uid scan.
+    from tokenizer_tpu import create_by_encoder_name
+
+    tok = create_by_encoder_name(
+        "cl100k_synth", allow_fetch=False, use_tpu=True
+    )
+    tok.encode_batch(docs)  # resolve every row through the real path
+    args = (
+        tok.table,
+        tok._rows,
+        tok._row_len,
+        tok._row_u16,
+        tok._uid_rows,
+    )
+    ectx = tok._split_ctx
+    emit_points = []
+    for t in (1, 2, 4, 8):
+        b = best(
+            lambda: ectx.split_emit_batch(
+                buf,
+                starts,
+                ends,
+                *args,
+                tok._n_rows,
+                ovf_pool=tok._ovf_pool,
+                nthreads=t,
+            )
+        )
+        emit_points.append({"threads": t, "MBps": round(n / b / 1e6, 1)})
     return {
         "pure_scan_MBps": round(n / pure / 1e6, 1),
         "steady_points": points,
+        "emit_points": emit_points,
         "bytes": n,
     }
 
