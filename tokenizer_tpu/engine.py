@@ -301,6 +301,16 @@ class TikTokenizer:
                         encode_length += utf16_len(piece)
                         ids.append(tid)
                     else:
+                        # REFERENCE QUIRK, reproduced faithfully: an
+                        # UNCACHED whole-piece hit that overflows
+                        # contributes NO text (plain `break`,
+                        # tikTokenizer.ts:262-264), while the cached
+                        # and BPE overflow branches count the piece's
+                        # whole text — the reference's trim TEXT is
+                        # therefore cache-state-dependent.  The bulk
+                        # trim paths implement the deterministic
+                        # warm-cache behavior; comparisons must warm
+                        # the cache first (see docs/parity.md).
                         return token_count, encode_length, False
                 else:
                     toks = byte_pair_encode(bts, self.encoder)
