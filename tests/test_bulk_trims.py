@@ -182,3 +182,48 @@ def test_trim_batch_mixed_budgets(tpu_tok, host_tok):
     for t, b, res in zip(texts, budgets, gotp):
         want = host_tok.encode_trim_prefix(t, b, allowed_special="all")
         assert (res.token_ids, res.text) == tuple(want), (t, b)
+
+
+def test_trim_batch_degenerate_budget_before_rotation(host_tok):
+    """Regression (found by the randomized trim campaign, iter 24,823):
+    a budget<1 text early in the batch used to fall back to the
+    SINGLE-DOC trim MID-LOOP; that path re-tokenizes, which can rotate
+    the dedup generation and orphan the precomputed window row indices
+    of every later text — their id gathers then read the fresh (empty)
+    row bank and silently return [] while the trimmed TEXT (from the
+    precomputed UTF-16 cums) stays correct.  The degenerate budgets are
+    now resolved BEFORE the batch setup; a loud identity check on the
+    row bank guards the loop.
+
+    Engineered deterministically: per-generation bound 300 rows
+    (max_unique_rows=600), a batch carrying ~400 unique pieces so the
+    batch setup leaves the dedup past the bound, and a budget-0 doc
+    ordered BEFORE the real one so the old fallback would rotate
+    mid-loop."""
+    require_vocab("gpt2")
+    from tokenizer_tpu.models.registry import get_encoding_spec
+    from tokenizer_tpu.tpu import TpuTokenizer
+    from tokenizer_tpu.vocab import Vocabulary
+
+    v = Vocabulary.for_encoding("gpt2", allow_fetch=False)
+    spec = get_encoding_spec("gpt2")
+    tok = TpuTokenizer(
+        v, spec.special_tokens, spec.pattern, max_unique_rows=600
+    )
+    big = " ".join(f"w{i} {i}" for i in range(200)) + " tail piece here"
+    # The budget-0 doc must be >= _BATCH_DELEGATE_BYTES so its
+    # single-doc fallback takes the batched pipeline (the only
+    # single-doc entry that can rotate).
+    docs = ["hello world " * 120, big]
+    budgets = [0, 7]
+
+    for mode in ("ts", "cs"):
+        got = tok.encode_trim_suffix_batch(docs, budgets, mode=mode)
+        for t, b, res in zip(docs, budgets, got):
+            want = host_tok.encode_trim_suffix(t, b, mode=mode)
+            assert (res.token_ids, res.text) == tuple(want), (b, mode)
+    gotp = tok.encode_trim_prefix_batch(docs, budgets)
+    for t, b, res in zip(docs, budgets, gotp):
+        want = host_tok.encode_trim_prefix(t, b)
+        assert (res.token_ids, res.text) == tuple(want), b
+        assert res.token_ids or b == 0 or not t

@@ -2166,10 +2166,22 @@ class TpuTokenizer(TikTokenizer):
                 self.encode_trim_suffix(t, b, allowed_special, mode)
                 for t, b in zip(texts, budgets)
             ]
+        # Degenerate budgets take the host loop verbatim — computed
+        # BEFORE the batch setup: the single-doc path re-tokenizes,
+        # which registers rows and may ROTATE the dedup generation;
+        # doing that mid-loop would invalidate the window bookkeeping
+        # (win_rows/uid_buf index the pre-rotation row storage) for
+        # every later text in the batch.
+        pre = {
+            i: self.encode_trim_suffix(texts[i], b, allowed_special, mode)
+            for i, b in enumerate(budgets)
+            if b < 1
+        }
         allowed = self._resolve_allowed(allowed_special)
         state = self._trim_batch_setup(texts, allowed)
         text_items, uid_buf, seg_offs, seg_counts, _, _gen = state
         self._split_ctx.check_uid_generation(_gen)
+        rows_bank = self._rows
         fb = None
         if seg_counts is not None and len(seg_counts):
             b_seg = self._trim_budget_map(
@@ -2180,10 +2192,7 @@ class TpuTokenizer(TikTokenizer):
         for i, text in enumerate(texts):
             b = budgets[i]
             if b < 1:
-                # Degenerate budgets take the host loop verbatim.
-                out.append(
-                    self.encode_trim_suffix(text, b, allowed_special, mode)
-                )
+                out.append(pre[i])
                 continue
             item = text_items[i]
             if isinstance(item, int) and item >= 0 and fb is not None:
@@ -2256,6 +2265,13 @@ class TpuTokenizer(TikTokenizer):
                     utf16_slice(text, 0, enc_len),
                 )
             )
+        # Nothing inside the loop may re-tokenize (that could rotate
+        # the dedup and silently orphan the window row indices) — make
+        # any future regression loud.
+        if self._rows is not rows_bank:
+            raise RuntimeError(
+                "dedup rotated during batch trim bookkeeping"
+            )
         return out
 
     def encode_trim_prefix_batch(
@@ -2283,10 +2299,20 @@ class TpuTokenizer(TikTokenizer):
                 self.encode_trim_prefix(t, b, allowed_special)
                 for t, b in zip(texts, budgets)
             ]
+        # Degenerate budgets: computed BEFORE the batch setup (the
+        # single-doc path re-tokenizes and may rotate the dedup
+        # generation; mid-loop that orphans win_rows/uid_buf for every
+        # later text — found by the randomized trim campaign).
+        pre = {
+            i: self.encode_trim_prefix(texts[i], b, allowed_special)
+            for i, b in enumerate(budgets)
+            if b < 1
+        }
         allowed = self._resolve_allowed(allowed_special)
         state = self._trim_batch_setup(texts, allowed)
         text_items, uid_buf, seg_offs, seg_counts, _, _gen = state
         self._split_ctx.check_uid_generation(_gen)
+        rows_bank = self._rows
         fb = None
         if seg_counts is not None and len(seg_counts):
             b_seg = self._trim_budget_map(
@@ -2297,7 +2323,7 @@ class TpuTokenizer(TikTokenizer):
         for i, text in enumerate(texts):
             b = budgets[i]
             if b < 1:
-                out.append(self.encode_trim_prefix(text, b, allowed_special))
+                out.append(pre[i])
                 continue
             item = text_items[i]
             if isinstance(item, int) and item >= 0 and fb is not None:
@@ -2390,6 +2416,12 @@ class TpuTokenizer(TikTokenizer):
                     [int(x) for x in ids],
                     utf16_slice(text, cum16_j, utf16_len(text)),
                 )
+            )
+        # Loud guard: nothing in the loop may have rotated the dedup
+        # (see the suffix batch's matching check).
+        if self._rows is not rows_bank:
+            raise RuntimeError(
+                "dedup rotated during batch trim bookkeeping"
             )
         return out
 
