@@ -39,7 +39,7 @@ import regex as _regex
 
 from .bpe import byte_pair_encode
 from .utils.lru import DEFAULT_CACHE_SIZE, LRUCache
-from .utils.text import utf16_len, utf16_slice
+from .utils.text import utf16_len, utf16_slice, utf8_bytes
 from .vocab import Vocabulary, load_tiktoken_file
 
 __all__ = ["TikTokenizer", "TrimResult", "ALL_SPECIAL_TOKENS"]
@@ -164,7 +164,7 @@ class TikTokenizer:
         cached = self.cache.get(piece)
         if cached is not None:
             return cached
-        bts = piece.encode("utf-8")
+        bts = utf8_bytes(piece)
         tid = self.encoder.get(bts)
         toks = [tid] if tid is not None else byte_pair_encode(bts, self.encoder)
         self.cache.set(piece, toks)
@@ -292,7 +292,7 @@ class TikTokenizer:
                     ids.extend(cached[:remaining])
                     return token_count, encode_length, False
             else:
-                bts = piece.encode("utf-8")
+                bts = utf8_bytes(piece)
                 tid = self.encoder.get(bts)
                 if tid is not None:
                     self.cache.set(piece, [tid])
@@ -351,7 +351,7 @@ class TikTokenizer:
             if cached is not None:
                 toks = cached
             else:
-                bts = piece.encode("utf-8")
+                bts = utf8_bytes(piece)
                 tid = self.encoder.get(bts)
                 if tid is not None:
                     toks = [tid]
@@ -402,7 +402,7 @@ class TikTokenizer:
                     if cached is not None:
                         toks = cached
                     else:
-                        bts = piece.encode("utf-8")
+                        bts = utf8_bytes(piece)
                         tid = self.encoder.get(bts)
                         toks = (
                             [tid]

@@ -39,6 +39,7 @@ from .models.registry import (
 )
 from .ops.packing import pack_pieces
 from .utils.lru import DEFAULT_CACHE_SIZE
+from .utils.text import utf8_bytes
 
 __all__ = ["TpuTokenizer", "TpuStats"]
 
@@ -644,7 +645,7 @@ class TpuTokenizer(TikTokenizer):
     def _resolve_new_pieces(self, new_pieces: List[str]) -> None:
         """Merge not-yet-seen str pieces into their reserved rows."""
         self._resolve_new_piece_rows(
-            [p.encode("utf-8") for p in new_pieces],
+            [utf8_bytes(p) for p in new_pieces],
             [self._piece_rows[p] for p in new_pieces],
         )
 
@@ -1210,7 +1211,7 @@ class TpuTokenizer(TikTokenizer):
                         # resolve via the host oracle immediately.
                         r = self._reserve_rows(1)
                         self._store_row(
-                            r, self._oracle_piece(piece.encode("utf-8"))
+                            r, self._oracle_piece(utf8_bytes(piece))
                         )
                         piece_rows[piece] = r
                         self.stats.host_fallback_pieces += 1
@@ -1412,7 +1413,7 @@ class TpuTokenizer(TikTokenizer):
         allowed_b = (
             {s.encode("utf-8") for s in allowed} if allowed else None
         )
-        datas = [t.encode("utf-8") for t in texts]
+        datas = [utf8_bytes(t) for t in texts]
         buf = b"".join(datas)
         seg_starts: List[int] = []
         seg_ends: List[int] = []
@@ -1820,7 +1821,7 @@ class TpuTokenizer(TikTokenizer):
         for text in texts:
             per_text.append(self._split_rows(text, allowed, new_pieces))
             self.stats.texts += 1
-            self.stats.bytes_in += len(text.encode("utf-8"))
+            self.stats.bytes_in += len(utf8_bytes(text))
         self._resolve_new_pieces(new_pieces)
 
         rows, row_len = self._rows, self._row_len
@@ -2438,7 +2439,7 @@ class TpuTokenizer(TikTokenizer):
         """
         if self._native is None or self._native_pid is None:
             return super().encode(text, allowed_special)
-        data = text.encode("utf-8")
+        data = utf8_bytes(text)
         if len(data) >= _BATCH_DELEGATE_BYTES:
             # Large single strings take the batched pipeline: the fused
             # native scan+intern(+merge) runs ~50x the per-piece python

@@ -11,7 +11,33 @@ byte-for-byte identical with the reference.
 
 from __future__ import annotations
 
-__all__ = ["utf16_len", "utf16_slice", "utf16_prefix_to_codepoints"]
+__all__ = [
+    "utf16_len",
+    "utf16_slice",
+    "utf16_prefix_to_codepoints",
+    "utf8_bytes",
+]
+
+
+def utf8_bytes(s: str) -> bytes:
+    """UTF-8 bytes of ``s`` with the references' LONE-SURROGATE
+    semantics: JS ``TextEncoder`` (tokenizer_ts/src/textEncoder.ts:24)
+    and C# ``Encoding.UTF8.GetBytes`` (TikTokenizer.cs:261) both emit
+    U+FFFD for an unpaired surrogate, where Python raises
+    ``UnicodeEncodeError``.  Clean strings (the overwhelmingly common
+    case) pay nothing: the try's encode IS the result.  A lone
+    surrogate and its U+FFFD replacement occupy one UTF-16 unit each
+    and fall in the same regex class (neither is ``\\p{L}``/``\\p{N}``
+    /whitespace), so piece boundaries and trim offsets are unaffected.
+    """
+    try:
+        return s.encode("utf-8")
+    except UnicodeEncodeError:
+        return (
+            s.encode("utf-16-le", "surrogatepass")
+            .decode("utf-16-le", "replace")
+            .encode("utf-8")
+        )
 
 
 def utf16_len(s: str) -> int:

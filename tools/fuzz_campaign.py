@@ -53,7 +53,7 @@ ATOMS = [
     "abc", "QRS", "xyz ", "0", "12", "345 ", "你好", "世界", "こん",
     "é", "ß", "💩", "⭐", "𝄞", "'ll", "'VE", "'s", "!", "@#$", " ",
     "\t", "\n", "\r\n", "/", "<|endoftext|>", "a" * 40, "好" * 30,
-    " " * 6, "9" * 12,
+    " " * 6, "9" * 12, "\ud800", "a\udfff",
 ]
 
 _VOCABS: dict = {}
