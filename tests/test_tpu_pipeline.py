@@ -486,3 +486,52 @@ def test_generational_dedup_no_sawtooth(gpt2_vocab, mesh, fuse):
         assert m <= 400, f"cold-chunk sawtooth: {m} re-merges in one chunk"
     # Hot pieces specifically resurrected (not merely some stragglers).
     assert max(copies_per_chunk) >= 200
+
+
+def test_subset_allowed_special_bulk_paths():
+    """allowed_special as a SUBSET collection (not None/'all') through
+    the bulk device paths: only listed specials stay atomic; the rest
+    tokenize as plain text (findNextSpecialToken skip semantics,
+    tikTokenizer.ts:118-140).  p50k_edit carries 4 specials so a
+    2-of-4 subset is meaningful."""
+    if not has_vocab("gpt2"):
+        pytest.skip("gpt2 vocab unavailable")
+    from tokenizer_tpu import create_by_encoder_name
+
+    tpu = create_by_encoder_name("p50k_edit", allow_fetch=False, use_tpu=True)
+    host = create_by_encoder_name("p50k_edit", allow_fetch=False)
+    sub = ["<|fim_prefix|>", "<|fim_suffix|>"]
+    docs = [
+        "a<|fim_prefix|>b<|fim_middle|>c<|fim_suffix|>d<|endoftext|>e",
+        "<|fim_prefix|><|fim_prefix|>",
+        "x<|endoftext|>",
+    ]
+    want = [host.encode(t, allowed_special=sub) for t in docs]
+    got = tpu.encode_batch(docs, allowed_special=sub)
+    for g, w, t in zip(got, want, docs):
+        assert list(g) == w, t
+    for t, r in zip(docs, tpu.encode_trim_suffix_batch(docs, 3, allowed_special=sub)):
+        assert (r.token_ids, r.text) == tuple(
+            host.encode_trim_suffix(t, 3, allowed_special=sub)
+        ), t
+    for t, r in zip(docs, tpu.encode_trim_prefix_batch(docs, 3, allowed_special=sub)):
+        assert (r.token_ids, r.text) == tuple(
+            host.encode_trim_prefix(t, 3, allowed_special=sub)
+        ), t
+
+
+def test_megapiece_single_token_run(pair):
+    """A 1 MB SINGLE piece (one regex match, unsplittable by the
+    subsegment scheme) must merge natively without the reference's
+    quadratic-loop cost and round-trip exactly.  The host oracle's
+    pure-python loop is O(n^2) here (as is the reference,
+    BytePairEncoder.cs:13-76), so parity is asserted at 4 KB and the
+    megapiece is held to round-trip + determinism instead."""
+    tpu, host = pair
+    p4 = "a" * 4096
+    assert tpu.encode(p4) == host.encode(p4)
+    big = "a" * (1 << 20)
+    ids = tpu.encode_batch([big])[0]
+    assert tpu.decode_batch([np.asarray(ids)])[0] == big
+    again = tpu.encode_batch([big])[0]
+    assert list(ids) == list(again)
