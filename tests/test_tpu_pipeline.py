@@ -535,3 +535,42 @@ def test_megapiece_single_token_run(pair):
     assert tpu.decode_batch([np.asarray(ids)])[0] == big
     again = tpu.encode_batch([big])[0]
     assert list(ids) == list(again)
+
+
+def test_overlapping_custom_specials_insertion_order():
+    """The specials matcher is leftmost-ALTERNATIVE in insertion order
+    (JS RegExp '|', tikTokenizer.ts:100-105), NOT longest-match: with
+    {'<|a|>', '<|a|>b'} registered in that order, '<|a|>b' encodes as
+    [id('<|a|>'), 'b'] — and the REVERSED insertion order flips the
+    result.  The native byte scanner must reproduce both orders."""
+    if not has_vocab("gpt2"):
+        pytest.skip("gpt2 vocab unavailable")
+    from tokenizer_tpu import create_by_encoder_name
+
+    docs = ["<|a|>b", "x<|a|>bz", "<|a|><|a|>b", "pre<|a|>"]
+    for extras in (
+        {"<|a|>": 50258, "<|a|>b": 50259},
+        {"<|a|>b": 50259, "<|a|>": 50258},
+    ):
+        host = create_by_encoder_name(
+            "gpt2", allow_fetch=False, extra_special_tokens=extras
+        )
+        tpu = create_by_encoder_name(
+            "gpt2", allow_fetch=False, use_tpu=True, extra_special_tokens=extras
+        )
+        for t in docs:
+            w = host.encode(t, allowed_special="all")
+            assert tpu.encode(t, allowed_special="all") == w, (extras, t)
+            assert (
+                list(tpu.encode_batch([t], allowed_special="all")[0]) == w
+            ), (extras, t)
+    # Sanity: the two orders genuinely differ on the overlap.
+    a = create_by_encoder_name(
+        "gpt2", allow_fetch=False,
+        extra_special_tokens={"<|a|>": 50258, "<|a|>b": 50259},
+    ).encode("<|a|>b", allowed_special="all")
+    b = create_by_encoder_name(
+        "gpt2", allow_fetch=False,
+        extra_special_tokens={"<|a|>b": 50259, "<|a|>": 50258},
+    ).encode("<|a|>b", allowed_special="all")
+    assert a == [50258, 65] and b == [50259]
