@@ -108,3 +108,21 @@ def test_model_to_encoding_exported_like_ts():
 
     assert tt.MODEL_TO_ENCODING["gpt-4"] == "cl100k_base"
     assert tt.MODEL_TO_ENCODING["gpt2"] == "gpt2"
+
+
+def test_builder_forwards_tpu_options():
+    """Device construction options (mesh=, max_unique_rows=) ride the
+    builder layer; the host engine rejects them loudly."""
+    import pytest
+    from conftest import require_vocab
+
+    require_vocab("gpt2")
+    from tokenizer_tpu import create_by_encoder_name
+
+    tok = create_by_encoder_name(
+        "gpt2", allow_fetch=False, use_tpu=True,
+        max_unique_rows=600, mesh=None,
+    )
+    assert tok.encode("hi there") == [5303, 612]
+    with pytest.raises(TypeError, match="max_unique_rows"):
+        create_by_encoder_name("gpt2", allow_fetch=False, max_unique_rows=600)

@@ -54,12 +54,26 @@ def create_tokenizer(
     pattern: str,
     cache_size: int = BUILDER_CACHE_SIZE,
     use_tpu: bool = False,
+    **tpu_options,
 ) -> TikTokenizer:
-    """createTokenizer (tokenizerBuilder.ts:296-309, TokenizerBuilder.cs:210)."""
+    """createTokenizer (tokenizerBuilder.ts:296-309, TokenizerBuilder.cs:210).
+
+    ``**tpu_options`` forwards device-tokenizer construction options
+    (``mesh=``, ``max_unique_rows=``, ...) to
+    :class:`~tokenizer_tpu.tpu.TpuTokenizer`; they are rejected when
+    ``use_tpu`` is false (the host engine takes none).
+    """
     if use_tpu:
         from .tpu import TpuTokenizer
 
-        return TpuTokenizer(vocab, special_tokens, pattern, cache_size)
+        return TpuTokenizer(
+            vocab, special_tokens, pattern, cache_size, **tpu_options
+        )
+    if tpu_options:
+        raise TypeError(
+            "device-tokenizer options require use_tpu=True: "
+            + ", ".join(sorted(tpu_options))
+        )
     return TikTokenizer(vocab, special_tokens, pattern, cache_size)
 
 
@@ -69,6 +83,7 @@ def create_by_encoder_name(
     cache_size: int = BUILDER_CACHE_SIZE,
     allow_fetch: bool = True,
     use_tpu: bool = False,
+    **tpu_options,
 ) -> TikTokenizer:
     """createByEncoderName (tokenizerBuilder.ts:226-289, TokenizerBuilder.cs:107-191)."""
     spec = get_encoding_spec(encoder_name)
@@ -76,7 +91,8 @@ def create_by_encoder_name(
     vocab = Vocabulary(ranks, name=encoder_name)
     specials = _merged_specials(spec.special_tokens, extra_special_tokens)
     return create_tokenizer(
-        vocab, specials, spec.pattern, cache_size, use_tpu=use_tpu
+        vocab, specials, spec.pattern, cache_size, use_tpu=use_tpu,
+        **tpu_options,
     )
 
 
@@ -86,6 +102,7 @@ def create_by_model_name(
     cache_size: int = BUILDER_CACHE_SIZE,
     allow_fetch: bool = True,
     use_tpu: bool = False,
+    **tpu_options,
 ) -> TikTokenizer:
     """createByModelName (tokenizerBuilder.ts:210-219, TokenizerBuilder.cs:82-100)."""
     encoder = encoding_name_for_model(model_name)
@@ -95,4 +112,5 @@ def create_by_model_name(
         cache_size,
         allow_fetch=allow_fetch,
         use_tpu=use_tpu,
+        **tpu_options,
     )
