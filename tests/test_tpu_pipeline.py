@@ -574,3 +574,18 @@ def test_overlapping_custom_specials_insertion_order():
         extra_special_tokens={"<|a|>b": 50259, "<|a|>": 50258},
     ).encode("<|a|>b", allowed_special="all")
     assert a == [50258, 65] and b == [50259]
+
+
+def test_bulk_apis_reject_bare_string(pair):
+    """A bare string passed where a sequence of texts is expected would
+    silently char-iterate into one-char results; every bulk entry
+    rejects it with a TypeError instead."""
+    tpu, _ = pair
+    with pytest.raises(TypeError, match="sequence of texts"):
+        tpu.encode_batch("hello")
+    with pytest.raises(TypeError, match="sequence of texts"):
+        tpu.encode_trim_suffix_batch("hello", 3)
+    with pytest.raises(TypeError, match="sequence of texts"):
+        tpu.encode_trim_prefix_batch("hello", 3)
+    with pytest.raises(TypeError, match="sequence of texts"):
+        list(tpu.encode_batch_stream(iter(["hello"])))

@@ -1798,6 +1798,16 @@ class TpuTokenizer(TikTokenizer):
 
     # -- bulk encode --------------------------------------------------------
 
+    @staticmethod
+    def _require_text_sequence(texts, api: str) -> None:
+        """A bare string would silently char-iterate into N one-char
+        results — a classic footgun; reject it loudly."""
+        if isinstance(texts, (str, bytes)):
+            raise TypeError(
+                f"{api} expects a sequence of texts, not a single "
+                "string; wrap it in a list"
+            )
+
     def encode_batch(
         self,
         texts: Sequence[str],
@@ -1809,6 +1819,7 @@ class TpuTokenizer(TikTokenizer):
         texts]`` (enforced by the conformance tests) but with the merge
         loop on the accelerator and no per-token Python.
         """
+        self._require_text_sequence(texts, "encode_batch")
         allowed = self._resolve_allowed(allowed_special)
         self._maybe_reset_dedup()  # safe: nothing in flight
         if self._native is not None and self._native_pid is not None:
@@ -1940,6 +1951,7 @@ class TpuTokenizer(TikTokenizer):
 
         try:
             for texts in batches:
+                self._require_text_sequence(texts, "encode_batch_stream")
                 if (
                     deferred is not None
                     and self._n_rows > self._gen_rows_bound()
@@ -2157,6 +2169,7 @@ class TpuTokenizer(TikTokenizer):
             if np.isscalar(max_token_counts)
             else [int(b) for b in max_token_counts]
         )
+        self._require_text_sequence(texts, "encode_trim_suffix_batch")
         if len(budgets) != len(texts):
             raise ValueError("one budget per text required")
         from .engine import TrimResult
@@ -2290,6 +2303,7 @@ class TpuTokenizer(TikTokenizer):
             if np.isscalar(max_token_counts)
             else [int(b) for b in max_token_counts]
         )
+        self._require_text_sequence(texts, "encode_trim_prefix_batch")
         if len(budgets) != len(texts):
             raise ValueError("one budget per text required")
         from .engine import TrimResult
