@@ -589,3 +589,82 @@ def test_bulk_apis_reject_bare_string(pair):
         tpu.encode_trim_prefix_batch("hello", 3)
     with pytest.raises(TypeError, match="sequence of texts"):
         list(tpu.encode_batch_stream(iter(["hello"])))
+
+
+def test_concurrent_public_api_threads():
+    """The PUBLIC entries are callable from many threads (the C#
+    reference's ITokenizer is; LRUCache.cs:14): 8 threads hammer
+    encode_batch / bulk trims / decode_batch on ONE tokenizer with a
+    small dedup bound (rotation pressure) — every result must equal
+    the host oracle."""
+    if not has_vocab("gpt2"):
+        pytest.skip("gpt2 vocab unavailable")
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tokenizer_tpu import create_by_encoder_name
+
+    tpu = create_by_encoder_name(
+        "gpt2", allow_fetch=False, use_tpu=True,
+        max_unique_rows=600, mesh=None,
+    )
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    import random
+
+    def work(seed):
+        rng = random.Random(seed)
+        for _ in range(6):
+            docs = [
+                " ".join(
+                    "t%d_%d" % (seed, rng.randrange(3000))
+                    for _ in range(rng.randint(5, 60))
+                )
+                for _ in range(rng.randint(1, 12))
+            ]
+            got = tpu.encode_batch(docs)
+            for t, ids in zip(docs, got):
+                assert list(ids) == host.encode(t), t[:50]
+            assert tpu.decode_batch(got) == docs
+            r = tpu.encode_trim_suffix_batch(docs, 5)
+            for t, res in zip(docs, r):
+                want = host.encode_trim_suffix(t, 5)
+                assert (res.token_ids, res.text) == tuple(want)
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        assert all(ex.map(work, range(8)))
+
+
+def test_stream_interleaved_with_bulk_calls():
+    """Other bulk calls BETWEEN stream yields (same or another thread)
+    must not rotate the dedup out from under the stream's deferred
+    chunk — the _stream_inflight hold defers rotation to the stream's
+    own safe points.  Small max_unique_rows forces the pressure."""
+    if not has_vocab("gpt2"):
+        pytest.skip("gpt2 vocab unavailable")
+    from tokenizer_tpu import create_by_encoder_name
+
+    tpu = create_by_encoder_name(
+        "gpt2", allow_fetch=False, use_tpu=True,
+        max_unique_rows=600, mesh=None,
+    )
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    batches = [
+        ["s%d_%d unique piece soup %d" % (b, i, i * 7) for i in range(40)]
+        for b in range(6)
+    ]
+    side_docs = ["side %d words %d here" % (k, k * 13) for k in range(300)]
+    out = []
+    k = 0
+    for got in tpu.encode_batch_stream(iter(batches)):
+        out.append(got)
+        # Interleave a rotation-pressure bulk call between yields.
+        side = side_docs[k * 50 : (k + 1) * 50]
+        sids = tpu.encode_batch(side)
+        for t, ids in zip(side, sids):
+            assert list(ids) == host.encode(t)
+        k += 1
+    assert len(out) == len(batches)
+    for batch, got in zip(batches, out):
+        for t, ids in zip(batch, got):
+            assert list(ids) == host.encode(t), t
+    assert tpu._stream_inflight == 0

@@ -109,6 +109,25 @@ class TpuStats:
         return dict(self.__dict__)
 
 
+def _serialized(fn):
+    """Serialize a public entry point on the instance's _api_lock.
+
+    The C# reference's ITokenizer is safely callable from many threads
+    (its LRU takes a lock, LRUCache.cs:14); the device tokenizer's
+    shared dedup state needs the same guarantee.  Reentrant lock:
+    entries legitimately nest (degenerate-budget trims delegate to the
+    single-doc path).  Intra-call parallelism (native worker threads,
+    device waves) is unaffected."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(self, *args, **kwargs):
+        with self._api_lock:
+            return fn(self, *args, **kwargs)
+
+    return inner
+
+
 class TpuTokenizer(TikTokenizer):
     """Device-accelerated tokenizer (drop-in for TikTokenizer)."""
 
@@ -234,6 +253,21 @@ class TpuTokenizer(TikTokenizer):
         #: grants a short grace wait on it a few times so healthy
         #: environments take the device from the very first wave.
         self._dev_event = _threading.Event()
+        #: serializes the public bulk entry points: the C# reference's
+        #: ITokenizer is thread-safe (LRUCache.cs:14 lock), so
+        #: concurrent encode_batch/trim calls from user threads must be
+        #: too.  Reentrant because degenerate-budget trims delegate to
+        #: the single-doc path under the lock.  Parallelism lives
+        #: INSIDE a call (native worker threads + device waves), so
+        #: serializing the entries costs nothing.
+        self._api_lock = _threading.RLock()
+        #: chunks currently deferred by encode_batch_stream (their uid
+        #: buffers and row indices map through the live dedup
+        #: generation): while nonzero, _maybe_reset_dedup declines to
+        #: rotate — an interleaved bulk call between stream yields must
+        #: not orphan them.  Rotation is a cache bound, so deferring it
+        #: to the stream's own safe point is always sound.
+        self._stream_inflight = 0
         self._grace_waits = 0
         #: EMA of BLOCKING host seconds per piece for each route (device
         #: = pack+h2d+dispatch+d2h+row writes; overlap-hidden exec time
@@ -288,6 +322,12 @@ class TpuTokenizer(TikTokenizer):
         the dedup is a cache.
         """
         if self._n_rows <= self._gen_rows_bound():
+            return
+        if self._stream_inflight:
+            # A stream holds deferred chunks whose uid buffers map
+            # through the current generation; rotating now would orphan
+            # them (the mid-loop-rotation bug class).  The stream
+            # rotates at its own drain points.
             return
         self._old_gen = (
             (
@@ -1808,6 +1848,7 @@ class TpuTokenizer(TikTokenizer):
                 "string; wrap it in a list"
             )
 
+    @_serialized
     def encode_batch(
         self,
         texts: Sequence[str],
@@ -1949,84 +1990,123 @@ class TpuTokenizer(TikTokenizer):
             check_guard(g)
             return self._native_assemble_phase(pstate)
 
-        try:
-            for texts in batches:
-                self._require_text_sequence(texts, "encode_batch_stream")
+        def set_deferred(d):
+            nonlocal deferred
+            if deferred is None:
+                self._stream_inflight += 1
+            deferred = d
+
+        def resolve_tracked():
+            nonlocal deferred
+            out = resolve(deferred)
+            deferred = None
+            self._stream_inflight -= 1
+            return out
+
+        def step(texts):
+            """Process ONE chunk and return its ready outputs in order.
+
+            All state mutation lives here (no yields), so the driver
+            loop can run each step under the API lock without holding
+            the lock across a yield — a consumer may interleave other
+            bulk calls on this tokenizer (any thread) between yields;
+            the _stream_inflight hold keeps those calls from rotating
+            the dedup out from under a deferred chunk."""
+            outs = []
+            self._require_text_sequence(texts, "encode_batch_stream")
+            if (
+                deferred is not None
+                and self._n_rows > self._gen_rows_bound()
+            ):
+                # Memory bound hit: drain the pipeline so the dedup
+                # flush below happens at a safe point.
+                outs.append(resolve_tracked())
+            if deferred is None:
+                self._maybe_reset_dedup()  # safe: nothing in flight
+            # One-pass emit route first: no assemble phase exists,
+            # so the chunk yields immediately (after draining any
+            # deferred chunk to preserve order).  SAFE alongside a
+            # deferred chunk: emit only APPENDS rows/uids beyond the
+            # deferred chunk's high-water mark and writes a fresh
+            # ring slot (same disjointness argument as split(k+1)).
+            # The emit route serves EVERY native chunk (one pass,
+            # no assemble): host-predicted chunks resolve inline;
+            # device-predicted chunks come back as deferred tokens
+            # whose wave executes while the NEXT chunk scans —
+            # sound because uid -> row publishes only at wave
+            # resolution, and chunks resolve in order (see
+            # _native_encode_emit's soundness note).
+            out = self._native_encode_emit(
+                texts,
+                allowed,
+                defer=True,
+                must_defer=deferred is not None,
+            )
+            prebuilt = None
+            if out is not None:
                 if (
-                    deferred is not None
-                    and self._n_rows > self._gen_rows_bound()
+                    isinstance(out, tuple)
+                    and out
+                    and out[0] == "emit_deferred"
                 ):
-                    # Memory bound hit: drain the pipeline so the dedup
-                    # flush below happens at a safe point.
-                    yield resolve(deferred)
-                    deferred = None
-                if deferred is None:
-                    self._maybe_reset_dedup()  # safe: nothing in flight
-                # One-pass emit route first: no assemble phase exists,
-                # so the chunk yields immediately (after draining any
-                # deferred chunk to preserve order).  SAFE alongside a
-                # deferred chunk: emit only APPENDS rows/uids beyond the
-                # deferred chunk's high-water mark and writes a fresh
-                # ring slot (same disjointness argument as split(k+1)).
-                # The emit route serves EVERY native chunk (one pass,
-                # no assemble): host-predicted chunks resolve inline;
-                # device-predicted chunks come back as deferred tokens
-                # whose wave executes while the NEXT chunk scans —
-                # sound because uid -> row publishes only at wave
-                # resolution, and chunks resolve in order (see
-                # _native_encode_emit's soundness note).
-                out = self._native_encode_emit(
-                    texts,
-                    allowed,
-                    defer=True,
-                    must_defer=deferred is not None,
-                )
-                prebuilt = None
-                if out is not None:
-                    if (
-                        isinstance(out, tuple)
-                        and out
-                        and out[0] == "emit_deferred"
-                    ):
-                        if deferred is not None:
-                            yield resolve(deferred)
-                        deferred = ("emit", out, guard(sample=False))
-                        continue
-                    if (
-                        isinstance(out, tuple)
-                        and out
-                        and out[0] == "emit_fallback"
-                    ):
-                        # Patch-scratch overflow while an earlier chunk
-                        # was deferred: drain it, then fall through to
-                        # the classic path with the prebuilt segments.
-                        yield resolve(deferred)
-                        deferred = None
-                        prebuilt = out[1]
-                    else:
-                        if deferred is not None:
-                            yield resolve(deferred)
-                            deferred = None
-                        yield out
-                        continue
-                state = self._native_split_phase(
-                    texts, allowed, prebuilt=prebuilt
-                )
-                handle = self._dispatch_wave(state[4])
-                if deferred is not None:
-                    yield resolve(deferred)
-                    deferred = None
-                if handle is None:
-                    deferred = (
+                    if deferred is not None:
+                        outs.append(resolve_tracked())
+                    set_deferred(("emit", out, guard(sample=False)))
+                    return outs
+                if (
+                    isinstance(out, tuple)
+                    and out
+                    and out[0] == "emit_fallback"
+                ):
+                    # Patch-scratch overflow while an earlier chunk
+                    # was deferred: drain it, then fall through to
+                    # the classic path with the prebuilt segments.
+                    outs.append(resolve_tracked())
+                    prebuilt = out[1]
+                else:
+                    if deferred is not None:
+                        outs.append(resolve_tracked())
+                    outs.append(out)
+                    return outs
+            state = self._native_split_phase(
+                texts, allowed, prebuilt=prebuilt
+            )
+            handle = self._dispatch_wave(state[4])
+            if deferred is not None:
+                outs.append(resolve_tracked())
+            if handle is None:
+                set_deferred(
+                    (
                         "host",
                         pool.submit(self._native_assemble_phase, state),
                         guard(sample=True),
                     )
-                else:
-                    deferred = ("dev", state, handle, guard(sample=False))
-            if deferred is not None:
-                yield resolve(deferred)
+                )
+            else:
+                set_deferred(("dev", state, handle, guard(sample=False)))
+            return outs
+
+        try:
+            for texts in batches:
+                with self._api_lock:
+                    outs = step(texts)
+                for o in outs:
+                    yield o
+            with self._api_lock:
+                outs = [resolve_tracked()] if deferred is not None else []
+            for o in outs:
+                yield o
         finally:
+            if deferred is not None:
+                # Generator closed with a chunk in flight: finish the
+                # wave so uid publication/backfill stay consistent
+                # (output discarded), releasing the rotation hold.
+                with self._api_lock:
+                    try:
+                        resolve_tracked()
+                    except Exception:
+                        deferred = None
+                        self._stream_inflight -= 1
             pool.shutdown(wait=True)
 
     # -- bulk trims ---------------------------------------------------------
@@ -2145,6 +2225,7 @@ class TpuTokenizer(TikTokenizer):
             np.arange(_MAX_OUT)[None, :] < lens[:, None]
         ]
 
+    @_serialized
     def encode_trim_suffix_batch(
         self,
         texts: Sequence[str],
@@ -2288,6 +2369,7 @@ class TpuTokenizer(TikTokenizer):
             )
         return out
 
+    @_serialized
     def encode_trim_prefix_batch(
         self,
         texts: Sequence[str],
@@ -2440,6 +2522,7 @@ class TpuTokenizer(TikTokenizer):
             )
         return out
 
+    @_serialized
     def encode(self, text: str, allowed_special: AllowedSpecial = None):
         """Single-string encode (lowest latency; no device dispatch).
 
@@ -2531,6 +2614,7 @@ class TpuTokenizer(TikTokenizer):
             self._dec_offs = offs
         return self._dec_blob, self._dec_offs
 
+    @_serialized
     def decode(self, tokens) -> str:
         """Decode; bulk inputs use the native byte-gather path.
 
@@ -2547,6 +2631,7 @@ class TpuTokenizer(TikTokenizer):
         raw = self._native.gather_bytes(blob, offs, ids, int(lens.sum()))
         return raw.decode("utf-8", errors="replace")
 
+    @_serialized
     def decode_batch(self, ids_batch: Sequence[Sequence[int]]) -> List[str]:
         """Bulk decode: ONE flattened native gather for the whole batch.
 
