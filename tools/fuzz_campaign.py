@@ -161,11 +161,69 @@ def iter_trim(rng: random.Random) -> None:
         assert (rp.token_ids, rp.text) == tuple(ep), ("prefix", t, b)
 
 
+def iter_threads(rng: random.Random) -> None:
+    """Concurrency iteration: ONE shared tokenizer, several threads
+    each running a random API mix (the public entries are thread-safe,
+    like the reference's ITokenizer) — every thread's results must
+    equal the host oracle.  Seeded per-thread RNGs keep each thread's
+    draw sequence deterministic regardless of interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    enc = rng.choice(["gpt2", "cl100k_synth", "o200k_synth"])
+    v, spec, host = get(enc)
+    tok = make_tok(rng, v, spec)
+    seeds = [rng.randrange(1 << 30) for _ in range(4)]
+
+    def work(seed):
+        r = random.Random(seed)
+        for _ in range(3):
+            docs = [
+                "".join(r.choice(ATOMS) for _ in range(r.randint(0, 40)))
+                for _ in range(r.randint(1, 12))
+            ]
+            api = r.choice(["batch", "trims", "stream"])
+            if api == "batch":
+                got = tok.encode_batch(docs)
+                for g, t in zip(got, docs):
+                    assert list(g) == host.encode(t), ("batch", t)
+                assert tok.decode_batch(got) == [
+                    host.decode(host.encode(t)) for t in docs
+                ]
+            elif api == "stream":
+                flat = [
+                    ids
+                    for b in tok.encode_batch_stream(iter([docs]))
+                    for ids in b
+                ]
+                for g, t in zip(flat, docs):
+                    assert list(g) == host.encode(t), ("stream", t)
+            else:
+                b = r.randint(1, 30)
+                for t in docs:
+                    # Warm the host LRU: its trimmed TEXT is cache-
+                    # state-dependent (docs/parity.md); the bulk path
+                    # implements the deterministic warm-cache behavior.
+                    host.encode(t)
+                for t, res in zip(docs, tok.encode_trim_suffix_batch(docs, b)):
+                    want = host.encode_trim_suffix(t, b)
+                    assert (res.token_ids, res.text) == tuple(want), (
+                        "trim", t, b,
+                    )
+        return True
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        assert all(ex.map(work, seeds))
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "encode"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
     budget_s = float(sys.argv[3]) if len(sys.argv) > 3 else 1500.0
-    step = {"encode": iter_encode, "trim": iter_trim}[mode]
+    step = {
+        "encode": iter_encode,
+        "trim": iter_trim,
+        "threads": iter_threads,
+    }[mode]
     rng = random.Random(seed)
     t0 = time.time()
     it = 0
