@@ -668,3 +668,33 @@ def test_stream_interleaved_with_bulk_calls():
         for t, ids in zip(batch, got):
             assert list(ids) == host.encode(t), t
     assert tpu._stream_inflight == 0
+
+
+def test_stream_abandoned_with_deferred_chunk():
+    """Closing a stream generator early (consumer breaks) with a chunk
+    in flight must finish the wave, release the rotation hold, and
+    leave the tokenizer fully usable."""
+    if not has_vocab("gpt2"):
+        pytest.skip("gpt2 vocab unavailable")
+    from tokenizer_tpu import create_by_encoder_name
+
+    tpu = create_by_encoder_name(
+        "gpt2", allow_fetch=False, use_tpu=True,
+        max_unique_rows=600, mesh=None,
+    )
+    host = create_by_encoder_name("gpt2", allow_fetch=False)
+    batches = [
+        ["ab%d cd%d" % (b * 100 + i, i) for i in range(30)]
+        for b in range(5)
+    ]
+    gen = tpu.encode_batch_stream(iter(batches))
+    first = next(gen)
+    for t, ids in zip(batches[0], first):
+        assert list(ids) == host.encode(t)
+    gen.close()  # abandon with batch 1 potentially deferred
+    assert tpu._stream_inflight == 0
+    # Tokenizer still healthy afterward, rotation unblocked.
+    docs = ["post abandon %d" % i for i in range(40)]
+    got = tpu.encode_batch(docs)
+    for t, ids in zip(docs, got):
+        assert list(ids) == host.encode(t)
