@@ -56,7 +56,19 @@ __all__ = [
     "Vocabulary",
     "load_tiktoken_file",
     "parse_tiktoken_data",
+    "TpuTokenizer",
 ]
+
+
+def __getattr__(name):
+    # Lazy: importing TpuTokenizer pulls in jax; the host engine and
+    # builders must stay importable on jax-free hosts (and fast
+    # everywhere).  `create_*(use_tpu=True)` lazy-imports the same way.
+    if name == "TpuTokenizer":
+        from .tpu import TpuTokenizer
+
+        return TpuTokenizer
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def __getattr__(name):
