@@ -183,6 +183,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,  # old_row_width
                 ctypes.c_int64,  # old_n_rows
                 ctypes.POINTER(ctypes.c_int64),  # n_copied (out, nullable)
+                ctypes.c_void_p,  # uid_ids (nullable [uid_cap, 8] compact)
             ]
         )
         lib.tt_ctx_split_emit_batch.restype = ctypes.c_int64
@@ -232,6 +233,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # patch_res
             ctypes.c_int64,  # patch_cap
             ctypes.POINTER(ctypes.c_int64),  # n_patches
+            ctypes.c_void_p,  # uid_ids (nullable [uid_cap, 8] compact)
         ]
         lib.tt_backfill_patches.restype = ctypes.c_int64
         lib.tt_backfill_patches.argtypes = [
@@ -268,6 +270,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_void_p,
             ctypes.c_int64,
+        ]
+        lib.tt_gather_bytes_batch.restype = ctypes.c_int64
+        lib.tt_gather_bytes_batch.argtypes = [
+            ctypes.c_void_p,  # blob
+            ctypes.c_void_p,  # offs
+            ctypes.c_int64,  # n_ids
+            ctypes.c_void_p,  # ids (flat)
+            ctypes.c_void_p,  # id_bounds
+            ctypes.c_int64,  # n_texts
+            ctypes.c_int,  # nthreads
+            ctypes.c_void_p,  # text_offs (out)
+            ctypes.c_void_p,  # out (nullable: phase 1 = sizes)
+            ctypes.c_int64,  # out_cap
         ]
         lib.tt_assemble_batch.restype = ctypes.c_int64
         lib.tt_assemble_batch.argtypes = [
@@ -317,7 +332,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,  # out
             ctypes.c_void_p,  # out_counts
         ]
-        if lib.tt_abi_version() != 10:
+        if lib.tt_abi_version() != 11:
             return None
         _LIB = lib
         return _LIB
@@ -340,6 +355,22 @@ def default_threads() -> int:
         except ValueError:
             pass
     return min(os.cpu_count() or 1, 16)
+
+
+def _uid_ids_ptr(uid_ids: Optional[np.ndarray], uid_rows: np.ndarray):
+    """Pointer for the compact [uid_cap, 8] id table (nullable).
+
+    MUST stay capacity-lockstep with ``uid_rows``: the native fuse
+    writes ``uid_ids[uid]`` for any uid < len(uid_rows), so a shorter
+    table would be an out-of-bounds write."""
+    if uid_ids is None:
+        return None
+    assert (
+        uid_ids.dtype == np.int32
+        and uid_ids.flags.c_contiguous
+        and uid_ids.shape == (len(uid_rows), 8)
+    ), "uid_ids must be int32 [len(uid_rows), 8] C-contiguous"
+    return uid_ids.ctypes.data_as(ctypes.c_void_p)
 
 
 def presplit(
@@ -546,6 +577,7 @@ class SplitContext:
         n_rows: int,
         nthreads: int = 0,
         old_gen=None,
+        uid_ids: Optional[np.ndarray] = None,
     ):
         """:meth:`split_batch` + fused first-seen merge (cold path).
 
@@ -638,6 +670,7 @@ class SplitContext:
             ctypes.byref(n_fused),
             *old_args,
             ctypes.byref(n_copied),
+            _uid_ids_ptr(uid_ids, uid_rows),
         )
         if rc < 0:
             raise RuntimeError(_errmsg("tt_ctx_split_merge_batch", rc))
@@ -720,6 +753,7 @@ class SplitContext:
         nthreads: int = 0,
         old_gen=None,
         fuse: bool = True,
+        uid_ids: Optional[np.ndarray] = None,
     ):
         """Fused scan+merge+EMIT: bytes -> token ids in ONE native pass.
 
@@ -847,6 +881,7 @@ class SplitContext:
             p_scr[3].ctypes.data_as(ctypes.c_void_p),
             self._PATCH_CAP,
             ctypes.byref(n_patches),
+            _uid_ids_ptr(uid_ids, uid_rows),
         )
         # With fuse disabled, row_cap was passed as 0 purely to gate the
         # inline merge — the returned row_next is clamped to it and MUST
@@ -1056,6 +1091,51 @@ def gather_bytes(
     if w < 0:
         raise RuntimeError("tt_gather_bytes overflow")
     return out[:w].tobytes()
+
+
+def gather_bytes_batch(
+    blob: np.ndarray,
+    offsets: np.ndarray,
+    ids: np.ndarray,
+    id_bounds: np.ndarray,
+    nthreads: int = 0,
+):
+    """Whole-batch id -> bytes gather for decode_batch.
+
+    ``ids`` is the concatenation of every text's ids; text t spans
+    ``ids[id_bounds[t]:id_bounds[t+1]]``.  Returns ``(raw, text_offs)``
+    where text t's bytes are ``raw[text_offs[t]:text_offs[t+1]]``.
+    Unknown ids are skipped (reference decode semantics).  Two native
+    phases (sizes, threaded copy); no Python-side per-id passes.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native presplit unavailable")
+    if nthreads <= 0:
+        nthreads = default_threads()
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    id_bounds = np.ascontiguousarray(id_bounds, dtype=np.int64)
+    n_texts = len(id_bounds) - 1
+    text_offs = np.zeros(n_texts + 1, dtype=np.int64)
+    args = (
+        blob.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        len(offsets) - 1,
+        ids.ctypes.data_as(ctypes.c_void_p),
+        id_bounds.ctypes.data_as(ctypes.c_void_p),
+        n_texts,
+        nthreads,
+        text_offs.ctypes.data_as(ctypes.c_void_p),
+    )
+    total = lib.tt_gather_bytes_batch(*args, None, 0)
+    np.cumsum(text_offs, out=text_offs)  # n_texts+1 elements: cheap
+    out = np.empty(max(int(total), 1), dtype=np.uint8)
+    w = lib.tt_gather_bytes_batch(
+        *args, out.ctypes.data_as(ctypes.c_void_p), int(total)
+    )
+    if w < 0:
+        raise RuntimeError("tt_gather_bytes_batch overflow")
+    return out[:w], text_offs
 
 
 def backfill_patches(
