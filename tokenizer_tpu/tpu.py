@@ -2241,9 +2241,28 @@ class TpuTokenizer(TikTokenizer):
         return state
 
     def _gather_rows(self, rows_idx: np.ndarray) -> np.ndarray:
-        """Concatenated ids of the given resolved rows (pool-aware)."""
+        """Concatenated ids of the given resolved rows (pool-aware).
+
+        Large selections run through the native assembler (identity
+        uid map, one segment): a single overflow row in the selection
+        used to force the whole gather into a per-row Python loop —
+        the bulk trims batch every text's window into ONE selection,
+        so one CJK piece anywhere poisoned the batch (profiled at 85k
+        ``_row_ids`` calls per trim call)."""
         if rows_idx.size == 0:
             return np.empty(0, np.int32)
+        if self._native is not None and rows_idx.size >= 64:
+            out, _offs, totals = self._native.assemble_batch(
+                self._rows,
+                self._row_len,
+                None,
+                np.ascontiguousarray(rows_idx, np.int32),
+                np.zeros(1, np.int64),
+                np.array([rows_idx.size], np.int64),
+                ovf_pool=self._ovf_pool,
+            )
+            if int(totals[0]) >= 0:
+                return out[: int(totals[0])]
         idx = rows_idx.astype(np.int64)
         lens = self._row_len[idx]
         if (lens < 0).any():
@@ -2253,6 +2272,96 @@ class TpuTokenizer(TikTokenizer):
         return self._rows[idx][
             np.arange(_MAX_OUT)[None, :] < lens[:, None]
         ]
+
+    def _trim_suffix_vec(self, texts, text_items, budgets, fb, mode, out):
+        """Vectorized single-segment suffix-trim bookkeeping.
+
+        One numpy pass computes every trimmed text's boundary piece,
+        kept-token count, and UTF-16 prefix length; one batched gather
+        materializes all kept windows.  (VERDICT r4 next #3: the
+        per-text loop spent ~50 us of small-array numpy per text and
+        capped bulk trims at ~50 MB/s.)  Fills ``out[i]`` for every
+        single-segment text whose total exceeds its budget; everything
+        else falls through to the per-text loop.
+        """
+        from .engine import TrimResult
+        from .utils.text import utf16_slice
+
+        totals, win_rows, cumW, cum16W, wb, _w0 = fb
+        idx = [
+            i
+            for i, item in enumerate(text_items)
+            if out[i] is None
+            and isinstance(item, int)
+            and item >= 0
+            and budgets[i] >= 1
+            and totals[item] > budgets[i]
+        ]
+        if not idx:
+            return
+        si = np.asarray(idx, np.int64)
+        seg = np.asarray([text_items[i] for i in idx], np.int64)
+        b_arr = np.asarray([budgets[i] for i in idx], np.int64)
+        s_arr = wb[seg]
+        e_arr = wb[seg + 1]
+        base = np.where(s_arr > 0, cumW[np.maximum(s_arr - 1, 0)], 0)
+        base16 = np.where(s_arr > 0, cum16W[np.maximum(s_arr - 1, 0)], 0)
+        # Boundary piece j per window == searchsorted(cumW[s:e], b+base,
+        # left) == count of window positions with cumW < b + base.
+        w_lens = e_arr - s_arr
+        tot_w = int(w_lens.sum())
+        pos_seg = np.repeat(np.arange(len(si)), w_lens)
+        pref = np.zeros(len(si), np.int64)
+        np.cumsum(w_lens[:-1], out=pref[1:])
+        flat_pos = np.repeat(s_arr - pref, w_lens) + np.arange(tot_w)
+        lt = cumW[flat_pos] < (b_arr + base)[pos_seg]
+        j = np.bincount(
+            pos_seg[lt], minlength=len(si)
+        ).astype(np.int64)
+        exact = (cumW[s_arr + j] - base) == b_arr
+        jm = s_arr + np.maximum(j - 1, 0)
+        if mode == "ts":
+            # TS slices mid-piece to exactly b (tikTokenizer.ts:246-249).
+            keep = b_arr
+            enc = cum16W[s_arr + j] - base16
+        else:
+            # C# drops the overflowing piece whole (TikTokenizer.cs:
+            # 296-339); an exact fit keeps piece j in both modes.
+            keep = np.where(
+                exact, b_arr, np.where(j > 0, cumW[jm] - base, 0)
+            )
+            enc = np.where(
+                exact,
+                cum16W[s_arr + j] - base16,
+                np.where(j > 0, cum16W[jm] - base16, 0),
+            )
+        # One batched gather of every kept window (rows s .. s+j).
+        sel_lens = j + 1
+        tot_sel = int(sel_lens.sum())
+        spre = np.zeros(len(si), np.int64)
+        np.cumsum(sel_lens[:-1], out=spre[1:])
+        sel_pos = np.repeat(s_arr - spre, sel_lens) + np.arange(tot_sel)
+        rows_sel = win_rows[sel_pos]
+        flat_ids = self._gather_rows(rows_sel)
+        rl = self._row_len[rows_sel]
+        k_w = np.where(rl >= 0, rl, -rl - 1).astype(np.int64)
+        sel_seg = np.repeat(np.arange(len(si)), sel_lens)
+        per_text = np.bincount(
+            sel_seg, weights=k_w, minlength=len(si)
+        ).astype(np.int64)
+        id_off = np.zeros(len(si) + 1, np.int64)
+        np.cumsum(per_text, out=id_off[1:])
+        tokens = 0
+        for t in range(len(si)):
+            i = int(si[t])
+            ids = flat_ids[
+                int(id_off[t]) : int(id_off[t]) + int(keep[t])
+            ].tolist()
+            tokens += len(ids)
+            out[i] = TrimResult(
+                ids, utf16_slice(texts[i], 0, int(enc[t]))
+            )
+        self.stats.tokens_out += tokens
 
     @_serialized
     def encode_trim_suffix_batch(
@@ -2312,48 +2421,29 @@ class TpuTokenizer(TikTokenizer):
                 text_items, len(seg_counts), budgets
             )
             fb = self._trim_windows(state, b_seg, tail=False)
-        out = []
+        out: List = [None] * len(texts)
+        for i, r in pre.items():
+            out[i] = r
+        if fb is not None:
+            # Vectorized bookkeeping for trimmed single-segment texts;
+            # the loop below serves what it leaves (untrimmed texts,
+            # multi-item texts, empty batches).
+            self._trim_suffix_vec(texts, text_items, budgets, fb, mode, out)
         for i, text in enumerate(texts):
-            b = budgets[i]
-            if b < 1:
-                out.append(pre[i])
+            if out[i] is not None:
                 continue
+            b = budgets[i]
             item = text_items[i]
             if isinstance(item, int) and item >= 0 and fb is not None:
-                # Single-segment fast path: budget bookkeeping over the
-                # segment's HEAD WINDOW (first b+1 pieces — each piece
-                # emits >= 1 id, so the boundary is inside it); the
-                # token total comes from the native count pass.
-                totals, win_rows, cumW, cum16W, wb, _w0 = fb
-                total = int(totals[item])
-                if total <= b:
+                # Single-segment UNTRIMMED text (trimmed ones were
+                # filled by _trim_suffix_vec): whole-segment gather.
+                if int(fb[0][item]) <= b:
                     ids = self._gather_rows(
                         self._seg_rows(uid_buf, seg_offs, seg_counts, item)
                     )
                     self.stats.tokens_out += ids.size
-                    out.append(TrimResult([int(x) for x in ids], text))
+                    out[i] = TrimResult(ids.tolist(), text)
                     continue
-                s, e = int(wb[item]), int(wb[item + 1])
-                base = int(cumW[s - 1]) if s > 0 else 0
-                base16 = int(cum16W[s - 1]) if s > 0 else 0
-                j = int(np.searchsorted(cumW[s:e], b + base, side="left"))
-                if mode == "ts" or int(cumW[s + j]) - base == b:
-                    keep = b
-                    enc_len = int(cum16W[s + j]) - base16
-                else:
-                    keep = (int(cumW[s + j - 1]) - base) if j > 0 else 0
-                    enc_len = (
-                        (int(cum16W[s + j - 1]) - base16) if j > 0 else 0
-                    )
-                ids = self._gather_rows(win_rows[s : s + j + 1])[:keep]
-                self.stats.tokens_out += ids.size
-                out.append(
-                    TrimResult(
-                        [int(x) for x in ids],
-                        utf16_slice(text, 0, enc_len),
-                    )
-                )
-                continue
             rows_idx = self._rows_for_items(
                 item, uid_buf, seg_offs, seg_counts
             )
@@ -2364,7 +2454,7 @@ class TpuTokenizer(TikTokenizer):
             if total <= b:
                 ids = self._gather_rows(rows_idx)
                 self.stats.tokens_out += ids.size
-                out.append(TrimResult([int(x) for x in ids], text))
+                out[i] = TrimResult(ids.tolist(), text)
                 continue
             j = int(np.searchsorted(cum, b, side="left"))
             cum16 = np.cumsum(self._row_u16[rows_idx[: j + 1]])
@@ -2383,11 +2473,9 @@ class TpuTokenizer(TikTokenizer):
             # rest of the document's id stream is never materialized.
             ids = self._gather_rows(rows_idx[: j + 1])[:keep]
             self.stats.tokens_out += ids.size
-            out.append(
-                TrimResult(
-                    [int(x) for x in ids],
-                    utf16_slice(text, 0, enc_len),
-                )
+            out[i] = TrimResult(
+                ids.tolist(),
+                utf16_slice(text, 0, enc_len),
             )
         # Nothing inside the loop may re-tokenize (that could rotate
         # the dedup and silently orphan the window row indices) — make
@@ -2397,6 +2485,130 @@ class TpuTokenizer(TikTokenizer):
                 "dedup rotated during batch trim bookkeeping"
             )
         return out
+
+    def _trim_prefix_vec(self, texts, text_items, budgets, fb, out):
+        """Vectorized single-segment prefix-trim bookkeeping (tail
+        windows).  Fills ``out[i]`` for trimmed texts whose chunk
+        boundary lands exactly (the common case); texts needing the TS
+        overshoot fallback (tikTokenizer.ts:454-462) are left for the
+        per-text loop."""
+        from .engine import TrimResult
+        from .utils.text import utf16_len, utf16_slice
+
+        totals, win_rows, cumW, cum16W, wb, _w0 = fb
+        idx = [
+            i
+            for i, item in enumerate(text_items)
+            if out[i] is None
+            and isinstance(item, int)
+            and item >= 0
+            and budgets[i] >= 1
+            and totals[item] > budgets[i]
+        ]
+        if not idx:
+            return
+        si = np.asarray(idx, np.int64)
+        seg = np.asarray([text_items[i] for i in idx], np.int64)
+        b_arr = np.asarray([budgets[i] for i in idx], np.int64)
+        tot = totals[seg]
+        s_arr = wb[seg]
+        e_arr = wb[seg + 1]
+        base = np.where(s_arr > 0, cumW[np.maximum(s_arr - 1, 0)], 0)
+        local_total = cumW[e_arr - 1] - base
+        base_w = tot - local_total  # ids before the tail window
+        thr = (tot - b_arr) - base_w + base
+        w_lens = e_arr - s_arr
+        tot_w = int(w_lens.sum())
+        pos_seg = np.repeat(np.arange(len(si)), w_lens)
+        pref = np.zeros(len(si), np.int64)
+        np.cumsum(w_lens[:-1], out=pref[1:])
+        flat_pos = np.repeat(s_arr - pref, w_lens) + np.arange(tot_w)
+        lt = cumW[flat_pos] < thr[pos_seg]
+        j = np.bincount(pos_seg[lt], minlength=len(si)).astype(np.int64)
+        actual = base_w + cumW[s_arr + j] - base
+        ok = actual <= b_arr
+        if not ok.all():
+            # Overshoot texts (the reference's naive fallback,
+            # tikTokenizer.ts:454-462 — for any document longer than
+            # 2x the budget ``actual > max`` ALWAYS holds, so this is
+            # the COMMON path for small budgets): exact last-b slice
+            # with decoded text.  Batched: one gather of every kept
+            # tail, one decode_batch for all the trimmed texts (the
+            # per-text decode loop was the whole prefix-trim
+            # bottleneck — 1,837 decode calls per bench batch).
+            no = ~ok
+            si_o, b_o = si[no], b_arr[no]
+            s_o, e_o = s_arr[no], e_arr[no]
+            # m0 = searchsorted(cumW[s:e], tot-b-base_w+base, RIGHT)
+            # == count of window positions with cumW <= that value;
+            # thr already equals it (thr = (tot-b) - base_w + base).
+            le = cumW[flat_pos] <= thr[pos_seg]
+            m0_all = np.bincount(
+                pos_seg[le], minlength=len(si)
+            ).astype(np.int64)
+            m0 = m0_all[no]
+            sel_lens = e_o - (s_o + m0)
+            tot_sel = int(sel_lens.sum())
+            spre = np.zeros(len(si_o), np.int64)
+            np.cumsum(sel_lens[:-1], out=spre[1:])
+            sel_pos = (
+                np.repeat(s_o + m0 - spre, sel_lens)
+                + np.arange(tot_sel)
+            )
+            rows_sel = win_rows[sel_pos]
+            flat_ids = self._gather_rows(rows_sel)
+            rl = self._row_len[rows_sel]
+            k_w = np.where(rl >= 0, rl, -rl - 1).astype(np.int64)
+            sel_seg = np.repeat(np.arange(len(si_o)), sel_lens)
+            per_text = np.bincount(
+                sel_seg, weights=k_w, minlength=len(si_o)
+            ).astype(np.int64)
+            id_end = np.cumsum(per_text)
+            sliced_all = [
+                flat_ids[
+                    int(id_end[t]) - int(b_o[t]) : int(id_end[t])
+                ].tolist()
+                for t in range(len(si_o))
+            ]
+            decoded = self.decode_batch(sliced_all)
+            for t in range(len(si_o)):
+                out[int(si_o[t])] = TrimResult(sliced_all[t], decoded[t])
+            self.stats.tokens_out += int(b_o.sum())
+        if not ok.any():
+            return
+        si, seg, b_arr = si[ok], seg[ok], b_arr[ok]
+        s_arr, e_arr, j = s_arr[ok], e_arr[ok], j[ok]
+        # Batched gather of the kept tails (rows s+j+1 .. e-1).
+        sel_lens = e_arr - (s_arr + j + 1)
+        tot_sel = int(sel_lens.sum())
+        spre = np.zeros(len(si), np.int64)
+        np.cumsum(sel_lens[:-1], out=spre[1:])
+        sel_pos = (
+            np.repeat(s_arr + j + 1 - spre, sel_lens) + np.arange(tot_sel)
+        )
+        rows_sel = win_rows[sel_pos]
+        flat_ids = self._gather_rows(rows_sel)
+        rl = self._row_len[rows_sel]
+        k_w = np.where(rl >= 0, rl, -rl - 1).astype(np.int64)
+        sel_seg = np.repeat(np.arange(len(si)), sel_lens)
+        per_text = np.bincount(
+            sel_seg, weights=k_w, minlength=len(si)
+        ).astype(np.int64)
+        id_off = np.zeros(len(si) + 1, np.int64)
+        np.cumsum(per_text, out=id_off[1:])
+        u16_after_j = cum16W[e_arr - 1] - cum16W[s_arr + j]
+        tokens = 0
+        for t in range(len(si)):
+            i = int(si[t])
+            text = texts[i]
+            ids = flat_ids[int(id_off[t]) : int(id_off[t + 1])].tolist()
+            tokens += len(ids)
+            total16 = utf16_len(text)
+            cum16_j = total16 - int(u16_after_j[t])
+            out[i] = TrimResult(
+                ids, utf16_slice(text, cum16_j, total16)
+            )
+        self.stats.tokens_out += tokens
 
     @_serialized
     def encode_trim_prefix_batch(
@@ -2445,12 +2657,17 @@ class TpuTokenizer(TikTokenizer):
                 text_items, len(seg_counts), budgets
             )
             fb = self._trim_windows(state, b_seg, tail=True)
-        out = []
+        out: List = [None] * len(texts)
+        for i, r in pre.items():
+            out[i] = r
+        if fb is not None:
+            # Vectorized bookkeeping for trimmed single-segment texts
+            # (non-overshoot); the loop serves the rest.
+            self._trim_prefix_vec(texts, text_items, budgets, fb, out)
         for i, text in enumerate(texts):
-            b = budgets[i]
-            if b < 1:
-                out.append(pre[i])
+            if out[i] is not None:
                 continue
+            b = budgets[i]
             item = text_items[i]
             if isinstance(item, int) and item >= 0 and fb is not None:
                 # Single-segment fast path: TAIL window — the keep
@@ -2466,7 +2683,7 @@ class TpuTokenizer(TikTokenizer):
                         self._seg_rows(uid_buf, seg_offs, seg_counts, item)
                     )
                     self.stats.tokens_out += ids.size
-                    out.append(TrimResult([int(x) for x in ids], text))
+                    out[i] = TrimResult(ids.tolist(), text)
                     continue
                 s, e = int(wb[item]), int(wb[item + 1])
                 base = int(cumW[s - 1]) if s > 0 else 0
@@ -2488,9 +2705,9 @@ class TpuTokenizer(TikTokenizer):
                         )
                     )
                     tail = self._gather_rows(win_rows[s + m0 : e])
-                    sliced = [int(x) for x in tail[tail.size - b :]]
+                    sliced = tail[tail.size - b :].tolist()
                     self.stats.tokens_out += b
-                    out.append(TrimResult(sliced, self.decode(sliced)))
+                    out[i] = TrimResult(sliced, self.decode(sliced))
                     continue
                 ids = self._gather_rows(win_rows[s + j + 1 : e])
                 self.stats.tokens_out += ids.size
@@ -2498,11 +2715,8 @@ class TpuTokenizer(TikTokenizer):
                 cum16_j = total16 - (
                     int(cum16W[e - 1]) - int(cum16W[s + j])
                 )
-                out.append(
-                    TrimResult(
-                        [int(x) for x in ids],
-                        utf16_slice(text, cum16_j, total16),
-                    )
+                out[i] = TrimResult(
+                    ids.tolist(), utf16_slice(text, cum16_j, total16)
                 )
                 continue
             rows_idx = self._rows_for_items(
@@ -2515,7 +2729,7 @@ class TpuTokenizer(TikTokenizer):
             if total <= b:
                 ids = self._gather_rows(rows_idx)
                 self.stats.tokens_out += ids.size
-                out.append(TrimResult([int(x) for x in ids], text))
+                out[i] = TrimResult(ids.tolist(), text)
                 continue
             prefix = total - b
             j = int(np.searchsorted(cum, prefix, side="left"))
@@ -2530,18 +2744,15 @@ class TpuTokenizer(TikTokenizer):
                 # decoded text (the TS fallback, tikTokenizer.ts:454-462).
                 m0 = int(np.searchsorted(cum, total - b, side="right"))
                 tail = self._gather_rows(rows_idx[m0:])
-                sliced = [int(x) for x in tail[tail.size - b :]]
+                sliced = tail[tail.size - b :].tolist()
                 self.stats.tokens_out += b
-                out.append(TrimResult(sliced, self.decode(sliced)))
+                out[i] = TrimResult(sliced, self.decode(sliced))
                 continue
             ids = self._gather_rows(rows_idx[j + 1 :])
             self.stats.tokens_out += ids.size
             cum16_j = int(np.cumsum(self._row_u16[rows_idx[: j + 1]])[-1])
-            out.append(
-                TrimResult(
-                    [int(x) for x in ids],
-                    utf16_slice(text, cum16_j, utf16_len(text)),
-                )
+            out[i] = TrimResult(
+                ids.tolist(), utf16_slice(text, cum16_j, utf16_len(text))
             )
         # Loud guard: nothing in the loop may have rotated the dedup
         # (see the suffix batch's matching check).

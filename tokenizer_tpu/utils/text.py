@@ -43,11 +43,12 @@ def utf8_bytes(s: str) -> bytes:
 def utf16_len(s: str) -> int:
     """Length of ``s`` in UTF-16 code units (JS ``s.length``)."""
     # Each code point >= U+10000 encodes as a surrogate pair (2 units).
-    n = len(s)
-    for ch in s:
-        if ch >= "\U00010000":
-            n += 1
-    return n
+    # ASCII fast path (C-speed flag check); otherwise the UTF-16 encode
+    # runs in C where the old per-character loop cost ~10 us/call on
+    # trim-sized texts (profiled in the bulk-trim bookkeeping).
+    if s.isascii():
+        return len(s)
+    return len(s.encode("utf-16-le", "surrogatepass")) // 2
 
 
 def utf16_prefix_to_codepoints(s: str, units: int) -> int:
@@ -60,15 +61,23 @@ def utf16_prefix_to_codepoints(s: str, units: int) -> int:
     """
     if units <= 0:
         return 0
+    # ``s[:units]`` always covers the answer (cp index <= unit index);
+    # if that prefix is astral-free, unit and code-point counts match.
+    pre = s[:units]
+    if pre.isascii():
+        return min(units, len(s))
+    n16 = len(pre.encode("utf-16-le", "surrogatepass")) // 2
+    if n16 == len(pre):  # BMP-only prefix: 1 unit per code point
+        return min(units, len(s))
     u = 0
-    for i, ch in enumerate(s):
+    for i, ch in enumerate(pre):
         w = 2 if ch >= "\U00010000" else 1
         if u + w > units:
             return i
         u += w
         if u == units:
             return i + 1
-    return len(s)
+    return len(pre)
 
 
 def utf16_slice(s: str, start_units: int, end_units: int) -> str:
