@@ -97,6 +97,16 @@ class TpuStats:
     fused_pieces: int = 0
     specials: int = 0
     tokens_out: int = 0
+    #: device waves dispatched (single-device: one fused jit call —
+    #: h2d + exec + d2h — per wave; mesh: one shard_map wave).  With
+    #: device_blocking_s this makes the router's host-vs-device
+    #: economics visible in every artifact (VERDICT r4 next #10).
+    device_waves: int = 0
+    #: BLOCKING host seconds spent on device waves (pack + h2d +
+    #: dispatch + d2h + row scatter; overlap-hidden execution excluded).
+    device_blocking_s: float = 0.0
+    #: host seconds spent resolving host-routed (unfused) waves.
+    host_wave_s: float = 0.0
     #: bounded-memory generation rotations of the dedup state
     #: (max_unique_rows): the current generation is frozen as the "old"
     #: bank and a fresh one starts; the previous old bank drops.
@@ -811,6 +821,7 @@ class TpuTokenizer(TikTokenizer):
             self._host_pp = 0.5 * self._host_pp + 0.5 * (dt / n_wave)
         self._host_waves_since_dev += 1
         self.stats.host_wave_pieces += n_wave
+        self.stats.host_wave_s += dt
 
     def _dispatch_wave(self, wave):
         """Route and dispatch a span wave from _native_split_phase.
@@ -1185,6 +1196,8 @@ class TpuTokenizer(TikTokenizer):
         self._note_dev_cost(dt, len(as_bytes))
 
     def _note_dev_cost(self, dt: float, n: int) -> None:
+        self.stats.device_waves += 1
+        self.stats.device_blocking_s += dt
         pp = dt / max(n, 1)
         self._dev_pp = pp if self._dev_pp is None else (
             0.5 * self._dev_pp + 0.5 * pp
