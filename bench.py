@@ -637,6 +637,12 @@ def scan_threads_bench(docs, cycles: int = 5):
     tok = create_by_encoder_name(
         "cl100k_synth", allow_fetch=False, use_tpu=True
     )
+    # Host-only: this block measures the native scan; a channel-probe
+    # thread compiling for the tunnel during the 1T/2T tiers was
+    # measured stealing one of this box's two cores (emit 2T dipped
+    # 457 -> 152 in the artifact).
+    tok._dev_probe_started = True
+    tok._dev_event.set()
     tok.encode_batch(docs)  # resolve every row through the real path
     args = (
         tok.table,

@@ -698,3 +698,74 @@ def test_stream_abandoned_with_deferred_chunk():
     got = tpu.encode_batch(docs)
     for t, ids in zip(docs, got):
         assert list(ids) == host.encode(t)
+
+
+def test_decode_batch_unknown_ids_and_empty(pair):
+    """gather_bytes_batch parity: unknown ids silently skipped
+    (TikTokenizer.cs:591-599), empty texts keep their slots, U+FFFD
+    replacement never crosses text boundaries."""
+    tpu, host = pair
+    batches = [
+        list(range(200)),  # bulk path
+        [],  # empty text
+        [10, -5, 99999999, 20] * 80,  # unknowns interleaved, bulk
+        host.encode("étoile ⭐ 你好") * 40,
+    ]
+    got = tpu.decode_batch(batches)
+    want = [host.decode(ids) for ids in batches]
+    assert got == want
+    # Single bulk decode (>=64 ids) takes the native gather too.
+    big = [3, 4, 5, -1, 2**31 - 1] * 30
+    assert tpu.decode(big) == host.decode(big)
+
+
+def test_trim_vec_mixed_overflow_rows(pair):
+    """Vectorized bulk-trim bookkeeping with overflow-pool rows inside
+    the budget windows (a CJK megapiece merges to > row width): the
+    batched gather must stay exact, suffix and prefix, both modes."""
+    tpu, host = pair
+    docs = [
+        "plain words " * 40,
+        "mid " + "好" * 200 + " tail words " * 30,  # overflow row early
+        "lead words " * 30 + "好" * 200,  # overflow row at the end
+        "",
+        "short",
+    ]
+    for t in docs:
+        host.encode(t)  # warm host LRU (trim text is cache-dependent)
+    for budget in (3, 17, 64):
+        for mode in ("ts", "cs"):
+            got = tpu.encode_trim_suffix_batch(docs, budget, mode=mode)
+            for t, r in zip(docs, got):
+                want = host.encode_trim_suffix(t, budget, mode=mode)
+                assert (r.token_ids, r.text) == tuple(want), (t[:30], budget, mode)
+        gotp = tpu.encode_trim_prefix_batch(docs, budget)
+        for t, r in zip(docs, gotp):
+            want = host.encode_trim_prefix(t, budget)
+            assert (r.token_ids, r.text) == tuple(want), (t[:30], budget)
+
+
+def test_trim_prefix_vec_overshoot_batched(pair):
+    """Long docs at small budgets ALWAYS take the reference's naive
+    overshoot fallback (tikTokenizer.ts:454-462) — now batched through
+    one decode_batch; parity with the host loop."""
+    tpu, host = pair
+    docs = ["word%d " % i + "filler words here " * 50 for i in range(20)]
+    for t in docs:
+        host.encode(t)
+    got = tpu.encode_trim_prefix_batch(docs, 5)
+    for t, r in zip(docs, got):
+        want = host.encode_trim_prefix(t, 5)
+        assert (r.token_ids, r.text) == tuple(want)
+
+
+def test_data_mesh_raises_on_too_few_devices():
+    """data_mesh(n) must fail loudly instead of silently building a
+    smaller mesh (a 'sharded' fuzz campaign once ran single-device)."""
+    import jax
+
+    from tokenizer_tpu.parallel.mesh import data_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="device"):
+        data_mesh(n + 1)
