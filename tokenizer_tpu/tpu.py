@@ -678,6 +678,11 @@ class TpuTokenizer(TikTokenizer):
         # SIGABRTs exactly like a wedged transfer (measured).
         thread_exit = threading.Event()
         _PROBE_EVENTS.append(thread_exit)
+        #: set when the probe THREAD fully exits (readiness + pre-arm):
+        #: benchmarks wait on this so pre-arm compiles don't steal a
+        #: core from their timed regions (~20 MB/s of headline on this
+        #: 2-core box).
+        self._probe_thread_done = thread_exit
 
         def probe():
             try:
