@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 from typing import (
+    IO,
     Collection,
     Dict,
     List,
@@ -76,7 +77,7 @@ class TikTokenizer:
 
     def __init__(
         self,
-        ranks_or_path: Union[str, os.PathLike, Mapping[bytes, int], Vocabulary],
+        ranks_or_path: Union[str, os.PathLike, Mapping[bytes, int], Vocabulary, IO],
         special_tokens: Mapping[str, int],
         pattern: str,
         cache_size: int = DEFAULT_CACHE_SIZE,
@@ -85,6 +86,16 @@ class TikTokenizer:
             vocab = ranks_or_path
         elif isinstance(ranks_or_path, (str, os.PathLike)):
             vocab = Vocabulary(load_tiktoken_file(ranks_or_path))
+        elif hasattr(ranks_or_path, "read"):
+            # Stream source — the C# builder's CreateTokenizer(Stream,
+            # ...) overload (TokenizerBuilder.cs:210): any binary
+            # file-like object with the tiktoken line format.
+            from .vocab import parse_tiktoken_data
+
+            data = ranks_or_path.read()
+            if isinstance(data, str):
+                data = data.encode("utf-8")
+            vocab = Vocabulary(parse_tiktoken_data(data))
         else:
             vocab = Vocabulary(ranks_or_path)
         self.vocab = vocab
