@@ -1500,6 +1500,27 @@ class TpuTokenizer(TikTokenizer):
         )
         datas = [utf8_bytes(t) for t in texts]
         buf = b"".join(datas)
+        if not allowed_b:
+            # No-specials fast path (the production bulk shape): one
+            # segment per nonempty text, fully vectorized — the
+            # per-text python loop below cost ~2 ms per 1,800-text
+            # chunk on the steady path.
+            lens = np.fromiter(
+                (len(d) for d in datas), np.int64, count=len(datas)
+            )
+            ends_a = np.cumsum(lens)
+            starts_a = ends_a - lens
+            nz = lens > 0
+            # text_items: running nonempty index, -1 for empty texts.
+            items_a = np.where(nz, np.cumsum(nz) - 1, -1)
+            self.stats.texts += len(datas)
+            self.stats.bytes_in += int(ends_a[-1]) if len(datas) else 0
+            return (
+                buf,
+                starts_a[nz],
+                ends_a[nz],
+                items_a.tolist(),
+            )
         seg_starts: List[int] = []
         seg_ends: List[int] = []
         text_items: List = []
@@ -1508,15 +1529,6 @@ class TpuTokenizer(TikTokenizer):
             n = len(data)
             self.stats.texts += 1
             self.stats.bytes_in += n
-            if not allowed_b:
-                if n:
-                    text_items.append(len(seg_starts))
-                    seg_starts.append(off)
-                    seg_ends.append(off + n)
-                else:
-                    text_items.append(-1)
-                off += n
-                continue
             items: List[Tuple[str, int]] = []
             start = 0
             sp_memo: dict = {}
@@ -1570,7 +1582,7 @@ class TpuTokenizer(TikTokenizer):
             )
 
         wave = None
-        if seg_starts:
+        if len(seg_starts):
             news = None
             if self._should_fuse(len(buf)):
                 self._prepare_fused_capacity(len(buf))
@@ -1726,7 +1738,7 @@ class TpuTokenizer(TikTokenizer):
             texts, allowed
         )
         ids_buf = seg_offs = seg_nt = None
-        if seg_starts:
+        if len(seg_starts):
             if fuse:
                 self._prepare_fused_capacity(len(buf))
             res = self._split_ctx.split_emit_batch(
