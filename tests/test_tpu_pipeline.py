@@ -359,6 +359,12 @@ def test_adaptive_router_explores_after_host_streak(gpt2_vocab):
 
         pytest.skip("native library unavailable")
     tok._ensure_device()
+    # Suppress the REAL channel probe: _route_wave_host would launch it
+    # and its completion overwrites _dev_pp/_dev_ready concurrently —
+    # the fixture values below must stay authoritative (this race was
+    # an intermittent suite failure under heavy box contention).
+    tok._dev_probe_started = True
+    tok._dev_event.set()
     tok._dev_ready = True
     tok._dev_pp = 1.0  # device measured terrible
     tok._host_pp = 1e-6

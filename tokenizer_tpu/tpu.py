@@ -1846,9 +1846,21 @@ class TpuTokenizer(TikTokenizer):
         # buffer (its refcount keeps it alive) — the dominant
         # single-segment case never copies; only texts interleaving
         # specials concatenate their few parts.
+        empty = np.empty(0, np.int32)
+        if ids_buf is not None and all(
+            isinstance(i, int) for i in text_items
+        ):
+            # No-specials batch (every text one segment or empty): one
+            # vectorized token count, views via comprehension.
+            self.stats.tokens_out += int(np.sum(seg_nt))
+            return [
+                ids_buf[seg_offs[i] : seg_offs[i] + seg_nt[i]]
+                if i >= 0
+                else empty
+                for i in text_items
+            ]
         out: List[np.ndarray] = []
         tokens = 0
-        empty = np.empty(0, np.int32)
         for item in text_items:
             if isinstance(item, int):
                 if item < 0:
