@@ -27,3 +27,18 @@ def test_campaign_iterations_smoke(mode):
     }[mode]
     for _ in range(3):
         step(rng)
+
+
+def test_campaign_mesh_iteration_smoke():
+    """Mesh-mode iteration body on however many devices the test env
+    exposes (conftest forces the 8-device virtual CPU mesh)."""
+    require_vocab("gpt2")
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import fuzz_campaign
+
+    rng = random.Random(4321)
+    for _ in range(3):
+        fuzz_campaign.iter_mesh(rng)
