@@ -1498,7 +1498,13 @@ class TpuTokenizer(TikTokenizer):
         allowed_b = (
             {s.encode("utf-8") for s in allowed} if allowed else None
         )
-        datas = [utf8_bytes(t) for t in texts]
+        try:
+            # Direct C-level encode for the overwhelmingly common clean
+            # batch; utf8_bytes' per-text call layer cost ~0.5 ms per
+            # 1,800-text chunk on the steady path.
+            datas = [t.encode("utf-8") for t in texts]
+        except UnicodeEncodeError:
+            datas = [utf8_bytes(t) for t in texts]
         buf = b"".join(datas)
         if not allowed_b:
             # No-specials fast path (the production bulk shape): one
@@ -1730,7 +1736,7 @@ class TpuTokenizer(TikTokenizer):
         # one device wave whose results the NATIVE backfill splices in —
         # the emit architecture covers both routes (no assemble phase
         # either way).
-        fuse = self._should_fuse(sum(len(t) for t in texts))
+        fuse = self._should_fuse(sum(map(len, texts)))
         native = self._native
         if self._split_ctx is None:
             self._split_ctx = native.SplitContext(self._native_pid)
